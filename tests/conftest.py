@@ -1,0 +1,40 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharding/collective tests run on `--xla_force_host_platform_device_count=8`
+CPU devices — something the torch reference cannot do without hardware
+(SURVEY.md §4.5).
+
+The ambient environment pins JAX to the TPU tunnel via a sitecustomize hook
+that imports jax at interpreter start, so plain env vars are too late; we
+retarget the platform through jax.config and drop any already-created
+backends. Opt back onto hardware with VITOK_TEST_TPU=1.
+"""
+
+import os
+
+if not os.environ.get("VITOK_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge
+
+        xla_bridge._clear_backends()
+    except Exception:
+        pass
+    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)

@@ -1,0 +1,616 @@
+"""Vision Transformer Autoencoder (NaFlex) — TPU-native functional core.
+
+Capability parity with reference ``vitok/models/ae.py`` (Na-VAE/vitok-release):
+asymmetric encoder/decoder ViT over NaFlex patch dicts, parallel transformer
+blocks (one pre-norm feeding both attention and SwiGLU, summed, LayerScale,
+residual), per-head-dim QK RMSNorm, 2D RoPE, stochastic depth ramped linearly
+over decoder depth, affine-free LayerNorm latent head, and the
+``decode_variant`` string DSL (ae.py:286-346).
+
+TPU-first design decisions (deliberately *not* a port of the torch module
+tree):
+
+* **Params are a plain pytree** of stacked per-depth arrays; the block stack
+  runs under ``jax.lax.scan`` so XLA compiles ONE block body regardless of
+  depth (compile time O(1) in depth, enables pipelining over layers).
+* **Pure functions** ``encode_apply`` / ``decode_apply`` take
+  ``(params, patch_dict)`` with a hashable static config; ``jax.jit`` caches
+  per (config, shape) — the whole encode/decode is a single XLA program.
+* **Gradient checkpointing** via ``jax.checkpoint`` on the scanned block body
+  (reference: ``torch.utils.checkpoint`` every k-th block, ae.py:159-160).
+* Attention honors the NaFlex patch mask on every backend (the reference's
+  flash path silently drops it).
+* The thin ``AE`` class at the bottom mirrors the reference's dict-in/dict-out
+  object API for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.ops.attention import dot_product_attention
+from vitok_tpu.ops.mlp import round_hidden_dim, swiglu
+from vitok_tpu.ops.norms import layer_norm, layer_scale, rms_norm
+from vitok_tpu.ops.rope import apply_rotary_emb, compute_2d_freqs_cis
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AEConfig:
+    """Static architecture configuration (hashable → usable as a jit static)."""
+
+    pixels_per_token: int = 768
+    channels_per_token: int = 32
+    encoder_width: int = 1024
+    decoder_width: int = 1024
+    encoder_depth: int = 4
+    decoder_depth: int = 24
+    encoder_heads: int = 12
+    decoder_heads: int = 12
+    mlp_factor: float = 2.67
+    checkpoint: int = 0
+    spatial_stride: int = 16
+    temporal_stride: int = 1
+    use_layer_scale: bool = True
+    layer_scale_init: float = 1e-4
+    drop_path_rate: float = 0.0
+    encoder: bool = True
+    decoder: bool = True
+    sw: Optional[int] = None
+    attn_impl: str = "auto"
+    rope_theta: float = 10000.0
+
+    def __post_init__(self):
+        if not self.encoder and not self.decoder:
+            raise ValueError("At least one of encoder or decoder must be True")
+        # Reference: sw <= 0 disables sliding window (ae.py:99).
+        if self.sw is not None and self.sw <= 0:
+            object.__setattr__(self, "sw", None)
+
+    @property
+    def encoder_head_dim(self) -> int:
+        return self.encoder_width // self.encoder_heads
+
+    @property
+    def decoder_head_dim(self) -> int:
+        return self.decoder_width // self.decoder_heads
+
+    @property
+    def encoder_ffn_dim(self) -> int:
+        return round_hidden_dim(int(self.encoder_width * self.mlp_factor))
+
+    @property
+    def decoder_ffn_dim(self) -> int:
+        return round_hidden_dim(int(self.decoder_width * self.mlp_factor))
+
+    @classmethod
+    def from_variant(cls, variant: str, **overrides) -> "AEConfig":
+        cfg = decode_variant(variant)
+        cfg.update(overrides)
+        return cls(**_filter_known(cfg))
+
+
+def _filter_known(kw: Dict[str, Any]) -> Dict[str, Any]:
+    """Swallow unknown kwargs like the reference AE's ``**kwargs`` (ae.py:92)."""
+    names = {f.name for f in dataclasses.fields(AEConfig)}
+    return {k: v for k, v in kw.items() if k in names}
+
+
+# ---------------------------------------------------------------------------
+# Variant DSL  (parity with reference decode_variant, ae.py:286-346)
+# ---------------------------------------------------------------------------
+
+_BASE_WIDTHS = {"B": 768, "L": 1024, "G": 1728, "T": 3072, "E": 4096}
+_BASE_DEPTHS = {"B": 12, "L": 24, "G": 32, "T": 40, "E": 48}
+_BASE_HEADS = {"B": 12, "L": 16, "G": 24, "T": 24, "E": 32}
+_BASE_MLP = 2.67
+
+
+def _parse_variant_name(variant_name: str) -> Dict[str, Any]:
+    """Parse one side of the variant string (e.g. ``Ld4`` or ``w512_d8_h8``)."""
+    if variant_name.startswith("w") and "_d" in variant_name and "_h" in variant_name:
+        parts = variant_name.split("_")
+        width = int(parts[0][1:])
+        depth = int(parts[1][1:])
+        heads = int(parts[2][1:])
+        mlp = (
+            float(parts[3][1:])
+            if len(parts) > 3 and parts[3].startswith("m")
+            else _BASE_MLP
+        )
+        return {"width": width, "depth": depth, "heads": heads, "mlp_factor": mlp}
+
+    width_m = re.search(r"w(\d+)", variant_name)
+    depth_m = re.search(r"d(\d+)", variant_name)
+    heads_m = re.search(r"h(\d+)", variant_name)
+    mlp_m = re.search(r"m(\d+(?:\.\d+)?)", variant_name)
+    base = re.sub(r"w\d+|d\d+|h\d+|m\d+(?:\.\d+)?", "", variant_name)
+    if base and base not in _BASE_WIDTHS:
+        raise ValueError(
+            f"Unknown base variant: {base}. Available: {list(_BASE_WIDTHS.keys())}"
+        )
+    return {
+        "width": int(width_m.group(1)) if width_m else _BASE_WIDTHS.get(base, 768),
+        "depth": int(depth_m.group(1)) if depth_m else _BASE_DEPTHS.get(base, 12),
+        "heads": int(heads_m.group(1)) if heads_m else _BASE_HEADS.get(base, 12),
+        "mlp_factor": float(mlp_m.group(1)) if mlp_m else _BASE_MLP,
+    }
+
+
+def decode_variant(variant: str) -> Dict[str, Any]:
+    """Parse a variant string like ``"B/1x16x64"`` or ``"Ld4-Ld24/1x16x64"``.
+
+    Geometry: ``{t}x{s}x{c}`` → temporal stride, spatial stride (patch size),
+    latent channels; ``pixels_per_token = s*s*t*3``. Two-part geometry
+    ``{s}x{c}`` implies t=1. ``mlp_factor`` takes the max of enc/dec sides
+    (reference ae.py:341).
+    """
+    v, rest = variant.split("/")
+    enc_v, dec_v = v.split("-") if "-" in v else (v, v)
+    parts = list(map(int, rest.split("x")))
+    if len(parts) == 3:
+        temporal_stride, spatial_stride, channel_size = parts
+    elif len(parts) == 2:
+        temporal_stride, spatial_stride, channel_size = 1, parts[0], parts[1]
+    else:
+        raise ValueError(f"Invalid variant format: {variant}")
+    enc = _parse_variant_name(enc_v)
+    dec = _parse_variant_name(dec_v)
+    return {
+        "encoder_width": enc["width"],
+        "decoder_width": dec["width"],
+        "encoder_depth": enc["depth"],
+        "decoder_depth": dec["depth"],
+        "encoder_heads": enc["heads"],
+        "decoder_heads": dec["heads"],
+        "mlp_factor": max(enc["mlp_factor"], dec["mlp_factor"]),
+        "temporal_stride": temporal_stride,
+        "spatial_stride": spatial_stride,
+        "channels_per_token": channel_size,
+        "pixels_per_token": spatial_stride * spatial_stride * temporal_stride * 3,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(rng: Array, fan_in: int, fan_out: int, dtype) -> Dict[str, Array]:
+    """Torch-nn.Linear-compatible init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+    k_rng, b_rng = jax.random.split(rng)
+    return {
+        "kernel": jax.random.uniform(
+            k_rng, (fan_in, fan_out), dtype, minval=-bound, maxval=bound
+        ),
+        "bias": jax.random.uniform(
+            b_rng, (fan_out,), dtype, minval=-bound, maxval=bound
+        ),
+    }
+
+
+def _linear_init_nobias(rng: Array, fan_in: int, fan_out: int, dtype) -> Dict[str, Array]:
+    bound = 1.0 / (fan_in ** 0.5)
+    return {
+        "kernel": jax.random.uniform(
+            rng, (fan_in, fan_out), dtype, minval=-bound, maxval=bound
+        )
+    }
+
+
+def _init_block_stack(
+    rng: Array,
+    depth: int,
+    width: int,
+    ffn_dim: int,
+    head_dim: int,
+    layer_scale_init: float,
+    use_layer_scale: bool,
+    dtype,
+) -> Params:
+    """Init a stack of ``depth`` parallel blocks, depth as the leading axis."""
+
+    def init_one(r: Array) -> Params:
+        r_qkv, r_out, r_fc1, r_fc2 = jax.random.split(r, 4)
+        p: Params = {
+            "norm1": {"scale": jnp.ones((width,), dtype)},
+            "attn": {
+                "qkv": _linear_init_nobias(r_qkv, width, 3 * width, dtype),
+                "out": _linear_init_nobias(r_out, width, width, dtype),
+                "norm_q": {"scale": jnp.ones((head_dim,), dtype)},
+                "norm_k": {"scale": jnp.ones((head_dim,), dtype)},
+            },
+            "ffn": {
+                "fc1": _linear_init_nobias(r_fc1, width, 2 * ffn_dim, dtype),
+                "fc2": _linear_init_nobias(r_fc2, ffn_dim, width, dtype),
+            },
+        }
+        if use_layer_scale:
+            p["layer_scale"] = {
+                "gamma": jnp.full((width,), layer_scale_init, dtype)
+            }
+        return p
+
+    return jax.vmap(init_one)(jax.random.split(rng, depth))
+
+
+def init_params(cfg: AEConfig, rng: Array, dtype=jnp.float32) -> Params:
+    """Initialize the full parameter pytree for the given config."""
+    params: Params = {}
+    r_enc, r_dec, r_pe, r_tc, r_de, r_tp = jax.random.split(rng, 6)
+    if cfg.encoder:
+        params["patch_embed"] = _linear_init(
+            r_pe, cfg.pixels_per_token, cfg.encoder_width, dtype
+        )
+        params["encoder_blocks"] = _init_block_stack(
+            r_enc,
+            cfg.encoder_depth,
+            cfg.encoder_width,
+            cfg.encoder_ffn_dim,
+            cfg.encoder_head_dim,
+            cfg.layer_scale_init,
+            cfg.use_layer_scale,
+            dtype,
+        )
+        params["to_code"] = _linear_init(
+            r_tc, cfg.encoder_width, cfg.channels_per_token, dtype
+        )
+    if cfg.decoder:
+        params["decoder_embed"] = _linear_init(
+            r_de, cfg.channels_per_token, cfg.decoder_width, dtype
+        )
+        params["decoder_blocks"] = _init_block_stack(
+            r_dec,
+            cfg.decoder_depth,
+            cfg.decoder_width,
+            cfg.decoder_ffn_dim,
+            cfg.decoder_head_dim,
+            cfg.layer_scale_init,
+            cfg.use_layer_scale,
+            dtype,
+        )
+        params["to_pixels"] = _linear_init(
+            r_tp, cfg.decoder_width, cfg.pixels_per_token, dtype
+        )
+    return params
+
+
+def num_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _linear(x: Array, p: Params) -> Array:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _block_body(
+    x: Array,
+    blk: Params,
+    rope: Tuple[Array, Array],
+    patch_mask: Optional[Array],
+    *,
+    num_heads: int,
+    sliding_window: Optional[int],
+    attn_impl: str,
+    drop_path_prob: Array,
+    drop_path_rng: Optional[Array],
+) -> Array:
+    """One parallel transformer block: x + dp(ls(attn(norm(x)) + mlp(norm(x)))).
+
+    Mirrors reference Block.forward (ae.py:55-65) with fused QKV, QK-RMSNorm
+    per head_dim, RoPE post-norm, and SwiGLU sharing the same normed input.
+    """
+    b, n, c = x.shape
+    head_dim = c // num_heads
+
+    h = rms_norm(x, blk["norm1"]["scale"])
+
+    # --- attention branch ---
+    qkv = _linear(h, blk["attn"]["qkv"]).reshape(b, n, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
+    k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
+    q, k = apply_rotary_emb(q, k, rope[0], rope[1])
+    attn = dot_product_attention(
+        q, k, v,
+        patch_mask=patch_mask,
+        sliding_window=sliding_window,
+        impl=attn_impl,
+    ).reshape(b, n, c)
+    attn = _linear(attn, blk["attn"]["out"])
+
+    # --- mlp branch (parallel: reads the same normed input) ---
+    mlp = swiglu(h, blk["ffn"]["fc1"]["kernel"], blk["ffn"]["fc2"]["kernel"])
+
+    combined = attn + mlp
+    if "layer_scale" in blk:
+        combined = layer_scale(combined, blk["layer_scale"]["gamma"])
+
+    # Stochastic depth per sample (train-only; reference drop_path ae.py:15-30).
+    if drop_path_rng is not None:
+        keep = 1.0 - drop_path_prob
+        gate = jnp.floor(
+            keep + jax.random.uniform(drop_path_rng, (b, 1, 1), jnp.float32)
+        )
+        scale = jnp.where(keep > 0.0, 1.0 / jnp.maximum(keep, 1e-8), 0.0)
+        combined = combined * (gate * scale).astype(combined.dtype)
+
+    return x + combined
+
+
+def _run_block_stack(
+    x: Array,
+    blocks: Params,
+    rope: Tuple[Array, Array],
+    patch_mask: Optional[Array],
+    depth: int,
+    *,
+    num_heads: int,
+    sliding_window: Optional[int],
+    attn_impl: str,
+    checkpoint: int,
+    drop_path_rates: Array,
+    rng: Optional[Array],
+) -> Array:
+    """Scan the stacked block params over the sequence.
+
+    ``jax.lax.scan`` gives one compiled block body; with ``checkpoint > 0``
+    the body is rematerialized on the backward pass (trades FLOPs for HBM,
+    same capability as the reference's every-k-th-block torch checkpointing).
+    """
+    rngs = (
+        jax.random.split(rng, depth)
+        if rng is not None
+        else jnp.zeros((depth, 2), jnp.uint32)
+    )
+    use_drop = rng is not None
+
+    def body(carry: Array, xs) -> Tuple[Array, None]:
+        blk, dpr, layer_rng = xs
+        out = _block_body(
+            carry,
+            blk,
+            rope,
+            patch_mask,
+            num_heads=num_heads,
+            sliding_window=sliding_window,
+            attn_impl=attn_impl,
+            drop_path_prob=dpr,
+            drop_path_rng=layer_rng if use_drop else None,
+        )
+        return out, None
+
+    if checkpoint > 0:
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable
+        )
+
+    x, _ = jax.lax.scan(body, x, (blocks, drop_path_rates, rngs))
+    return x
+
+
+def _rope_tables(
+    patch_dict: Dict[str, Array], head_dim: int, theta: float
+) -> Tuple[Array, Array]:
+    """Per-sample 2D RoPE cos/sin in fp32 (reference _get_rope_freqs)."""
+    row = patch_dict["row_idx"].astype(jnp.float32)
+    col = patch_dict["col_idx"].astype(jnp.float32)
+    return compute_2d_freqs_cis(row, col, head_dim, theta)
+
+
+_META_KEYS = ("patch_mask", "row_idx", "col_idx", "orig_height", "orig_width")
+
+
+def _meta(d: Dict[str, Array]) -> Dict[str, Array]:
+    return {k: d[k] for k in _META_KEYS if k in d}
+
+
+def encode_apply(
+    params: Params,
+    patch_dict: Dict[str, Array],
+    cfg: AEConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Array]:
+    """Encode a NaFlex patch dict to normalized latents ``z [B, N, c]``."""
+    x = patch_dict["patches"].astype(compute_dtype)
+    x = _linear(x, params["patch_embed"])
+    rope = _rope_tables(patch_dict, cfg.encoder_head_dim, cfg.rope_theta)
+    patch_mask = patch_dict.get("patch_mask")
+    dpr = jnp.zeros((cfg.encoder_depth,), jnp.float32)  # encoder: no drop path
+    x = _run_block_stack(
+        x,
+        params["encoder_blocks"],
+        rope,
+        patch_mask,
+        cfg.encoder_depth,
+        num_heads=cfg.encoder_heads,
+        sliding_window=cfg.sw,
+        attn_impl=cfg.attn_impl,
+        checkpoint=cfg.checkpoint,
+        drop_path_rates=dpr,
+        rng=None if deterministic else rng,
+    )
+    z = layer_norm(_linear(x, params["to_code"]))
+    out = _meta(patch_dict)
+    out["z"] = z
+    return out
+
+
+def decode_apply(
+    params: Params,
+    encode_dict: Dict[str, Array],
+    cfg: AEConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Array]:
+    """Decode latents back to flattened patch pixels."""
+    x = encode_dict["z"].astype(compute_dtype)
+    x = _linear(x, params["decoder_embed"])
+    rope = _rope_tables(encode_dict, cfg.decoder_head_dim, cfg.rope_theta)
+    patch_mask = encode_dict.get("patch_mask")
+    # Linear drop-path ramp over decoder depth (reference ae.py:143).
+    d = cfg.decoder_depth
+    dpr = cfg.drop_path_rate * jnp.arange(d, dtype=jnp.float32) / max(d - 1, 1)
+    x = _run_block_stack(
+        x,
+        params["decoder_blocks"],
+        rope,
+        patch_mask,
+        d,
+        num_heads=cfg.decoder_heads,
+        sliding_window=cfg.sw,
+        attn_impl=cfg.attn_impl,
+        checkpoint=cfg.checkpoint,
+        drop_path_rates=dpr,
+        rng=None if deterministic else rng,
+    )
+    out = _meta(encode_dict)
+    out["patches"] = _linear(x, params["to_pixels"])
+    return out
+
+
+def forward_apply(
+    params: Params,
+    patch_dict: Dict[str, Array],
+    cfg: AEConfig,
+    *,
+    deterministic: bool = True,
+    rng: Optional[Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Array]:
+    """Full forward: encode then decode (whichever halves the config has)."""
+    out = patch_dict
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    if cfg.encoder:
+        out = encode_apply(
+            params, out, cfg,
+            deterministic=deterministic, rng=enc_rng, compute_dtype=compute_dtype,
+        )
+    if cfg.decoder:
+        out = decode_apply(
+            params, out, cfg,
+            deterministic=deterministic, rng=dec_rng, compute_dtype=compute_dtype,
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Object API shim (reference-style dict-in/dict-out model object)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted(fn_name: str, cfg: AEConfig, compute_dtype_name: str):
+    fn = {"encode": encode_apply, "decode": decode_apply, "forward": forward_apply}[
+        fn_name
+    ]
+    dtype = jnp.dtype(compute_dtype_name)
+
+    def wrapped(params, d):
+        return fn(params, d, cfg, deterministic=True, compute_dtype=dtype)
+
+    return jax.jit(wrapped)
+
+
+class AE:
+    """Thin object wrapper mirroring the reference ``AE`` interface.
+
+    Construct with ``AE(**decode_variant("Ld4-Ld24/1x16x64"))`` exactly like
+    the reference (unknown kwargs are swallowed). Holds a config and a params
+    pytree; ``encode``/``decode``/``__call__`` are jit-compiled and cached per
+    input shape.
+    """
+
+    def __init__(self, params: Optional[Params] = None, seed: int = 0,
+                 param_dtype=jnp.float32, compute_dtype=jnp.bfloat16, **kwargs):
+        self.cfg = AEConfig(**_filter_known(kwargs))
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        if params is None:
+            params = init_params(self.cfg, jax.random.key(seed), param_dtype)
+        self.params = params
+
+    # -- reference-style properties ------------------------------------
+    @property
+    def is_encoder(self) -> bool:
+        return self.cfg.encoder
+
+    @property
+    def is_decoder(self) -> bool:
+        return self.cfg.decoder
+
+    @property
+    def spatial_stride(self) -> int:
+        return self.cfg.spatial_stride
+
+    @property
+    def pixels_per_token(self) -> int:
+        return self.cfg.pixels_per_token
+
+    @property
+    def channels_per_token(self) -> int:
+        return self.cfg.channels_per_token
+
+    def _run(self, name: str, d: Dict[str, Array]) -> Dict[str, Array]:
+        return _jitted(name, self.cfg, self.compute_dtype.name)(self.params, d)
+
+    def encode(self, patch_dict: Dict[str, Array]) -> Dict[str, Array]:
+        return self._run("encode", patch_dict)
+
+    def decode(self, encode_dict: Dict[str, Array]) -> Dict[str, Array]:
+        return self._run("decode", encode_dict)
+
+    def __call__(self, patch_dict: Dict[str, Array]) -> Dict[str, Array]:
+        return self._run("forward", patch_dict)
+
+    forward = __call__
+
+    def num_params(self) -> int:
+        return num_params(self.params)
+
+
+def Model(**kw) -> AE:
+    """Factory alias for parity with the reference (ae.py:273-275)."""
+    return AE(**kw)
+
+
+__all__ = [
+    "AE",
+    "AEConfig",
+    "Model",
+    "decode_variant",
+    "init_params",
+    "num_params",
+    "encode_apply",
+    "decode_apply",
+    "forward_apply",
+]
