@@ -1,0 +1,117 @@
+"""Pallas flash-attention kernel vs the XLA reference path.
+
+Runs the actual kernel in interpreter mode on CPU (same code path as TPU
+modulo Mosaic compilation), checking masking, sliding windows, padding, and
+gradients.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.ops.attention import _xla_attention, make_attention_mask
+from vitok_tpu.ops.flash_attention import flash_attention
+
+
+def qkv(b=1, n=256, h=2, d=64, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return [jax.random.normal(k, (b, n, h, d), dtype) for k in ks]
+
+
+def xla_ref(q, k, v, patch_mask=None, sliding_window=None):
+    mask = make_attention_mask(patch_mask, q.shape[1], sliding_window)
+    return _xla_attention(q, k, v, mask)
+
+
+class TestFlashForward:
+    def test_unmasked_matches_xla(self):
+        q, k, v = qkv(b=2, n=256, h=2, d=64)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_non_block_multiple_n(self):
+        q, k, v = qkv(n=200)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_patch_mask(self):
+        q, k, v = qkv(b=2, n=256)
+        mask = jnp.zeros((2, 256), bool).at[0, :100].set(True).at[1, :256].set(True)
+        out = flash_attention(q, k, v, patch_mask=mask, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v, patch_mask=mask)
+        m = np.asarray(mask)
+        np.testing.assert_allclose(
+            np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5
+        )
+
+    def test_masked_rows_are_zero_not_nan(self):
+        q, k, v = qkv(b=1, n=128)
+        mask = jnp.zeros((1, 128), bool).at[0, :64].set(True)
+        out = np.asarray(
+            flash_attention(q, k, v, patch_mask=mask, block_q=128, block_k=128)
+        )
+        assert not np.isnan(out).any()
+        np.testing.assert_allclose(out[0, 64:], 0.0)
+
+    def test_sliding_window(self):
+        q, k, v = qkv(n=256)
+        out = flash_attention(q, k, v, sliding_window=32, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v, sliding_window=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_sliding_window_with_mask(self):
+        q, k, v = qkv(b=2, n=256)
+        mask = jnp.zeros((2, 256), bool).at[:, :180].set(True)
+        out = flash_attention(
+            q, k, v, patch_mask=mask, sliding_window=16, block_q=128, block_k=128
+        )
+        ref = xla_ref(q, k, v, patch_mask=mask, sliding_window=16)
+        m = np.asarray(mask)
+        np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m], atol=2e-5)
+
+    def test_bf16(self):
+        q, k, v = qkv(n=256, dtype=jnp.bfloat16)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+    def test_head_dim_128(self):
+        q, k, v = qkv(n=128, d=128)
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+        ref = xla_ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashBackward:
+    def test_grads_match_xla(self):
+        q, k, v = qkv(n=128)
+        mask = jnp.ones((1, 128), bool).at[0, 100:].set(False)
+
+        # Downstream losses always mask padded tokens; dead-query rows differ
+        # between backends by design (flash zeroes them, XLA leaves garbage).
+        w = mask[..., None, None].astype(jnp.float32)
+
+        def loss_flash(q_, k_, v_):
+            out = flash_attention(
+                q_, k_, v_, patch_mask=mask, block_q=128, block_k=128
+            )
+            return jnp.sum((out * w) ** 2)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum((xla_ref(q_, k_, v_, patch_mask=mask) * w) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            # Grads on masked-out tokens may differ (both ignored downstream);
+            # compare valid region.
+            np.testing.assert_allclose(
+                np.asarray(a)[:, :100], np.asarray(b)[:, :100], atol=1e-4
+            )

@@ -106,7 +106,12 @@ def dot_product_attention(
     """
     b, n, h, d = q.shape
     if impl == "auto":
-        impl = "pallas" if (_backend_is_tpu() and n >= 128 and d % 128 == 0) else "xla"
+        # Pallas kernel validated for head_dim 64 (350M family) and 128 (5B).
+        impl = (
+            "pallas"
+            if (_backend_is_tpu() and n >= 128 and d % 64 == 0)
+            else "xla"
+        )
     if impl == "pallas":
         from vitok_tpu.ops.flash_attention import flash_attention
 
