@@ -1,0 +1,128 @@
+"""Benchmark: 5B-f16x64 encode+decode throughput @256p on one chip.
+
+The north-star config from BASELINE.json: ViTok-v2 5B (Td4-T/1x16x64),
+bf16, 256 tokens/image. Reference anchor: 3.59 ms/img on A100-80GB batch 500
+with torch.compile (docs/index.html:498-509) => ~278.6 img/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_REF_IMG_PER_S = 1000.0 / 3.59  # ≈278.6 img/s (reference anchor)
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def make_batch(b: int, n: int, grid, pixels_per_token: int):
+    rng = np.random.default_rng(0)
+    gr, gc = grid
+    yy, xx = np.meshgrid(np.arange(gr), np.arange(gc), indexing="ij")
+    tile = lambda a: np.tile(a.ravel()[None], (b, 1)).astype(np.int32)
+    return {
+        "patches": jnp.asarray(
+            rng.standard_normal((b, n, pixels_per_token)).astype(np.float32),
+            dtype=jnp.bfloat16,
+        ),
+        "patch_mask": jnp.ones((b, n), bool),
+        "row_idx": jnp.asarray(tile(yy)),
+        "col_idx": jnp.asarray(tile(xx)),
+        "orig_height": jnp.full((b,), gr * 16, jnp.int32),
+        "orig_width": jnp.full((b,), gc * 16, jnp.int32),
+    }
+
+
+def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
+                  iters=20, warmup=3, attn_impl="auto"):
+    from vitok_tpu.models import AEConfig, init_params
+    from vitok_tpu.models.ae import forward_apply
+
+    cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    fwd = jax.jit(
+        lambda p, d: forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+    )
+
+    best = {"img_per_s": 0.0, "batch": 0, "ms_per_img": float("inf")}
+    for b in batch_sizes:
+        batch = make_batch(b, n_tokens, grid, cfg.pixels_per_token)
+        try:
+            for _ in range(warmup):
+                out = fwd(params, batch)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd(params, batch)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+        except Exception as e:  # OOM at large batch — keep best so far
+            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
+            break
+        img_per_s = b / dt
+        if img_per_s > best["img_per_s"]:
+            best = {
+                "img_per_s": img_per_s,
+                "batch": b,
+                "ms_per_img": dt / b * 1e3,
+            }
+        print(
+            f"# {variant} b={b}: {img_per_s:.1f} img/s ({dt/b*1e3:.3f} ms/img)",
+            file=sys.stderr,
+        )
+    # Forward-pass FLOPs ≈ 2 * params * tokens (matmul-dominated).
+    flops_per_img = 2.0 * n_params * n_tokens
+    best["mfu"] = (
+        best["img_per_s"] * flops_per_img / (V5E_BF16_PEAK_TFLOPS * 1e12)
+    )
+    best["n_params"] = n_params
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small-model smoke")
+    ap.add_argument("--variant", default="Td4-T/1x16x64")
+    ap.add_argument("--batches", default=None, help="comma-separated batch sizes")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.quick:
+        variant = "w256_d2_h4-w256_d4_h4/1x16x16"
+        batches = [8]
+        iters = 5
+    else:
+        variant = args.variant
+        batches = (
+            [int(x) for x in args.batches.split(",")]
+            if args.batches
+            else [8, 16, 32, 64]
+        )
+        iters = args.iters
+
+    best = bench_variant(variant, batches, iters=iters)
+    result = {
+        "metric": f"{variant} encode+decode img/s/chip @256p bf16",
+        "value": round(best["img_per_s"], 2),
+        "unit": "img/s",
+        "vs_baseline": round(best["img_per_s"] / A100_REF_IMG_PER_S, 3),
+        "ms_per_img": round(best["ms_per_img"], 3),
+        "batch": best["batch"],
+        "mfu": round(best["mfu"], 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
