@@ -23,8 +23,8 @@ A100_REF_IMG_PER_S = 1000.0 / 3.59  # ≈278.6 img/s (reference anchor)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def make_batch(b: int, n: int, grid, pixels_per_token: int):
-    rng = np.random.default_rng(0)
+def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
     gr, gc = grid
     yy, xx = np.meshgrid(np.arange(gr), np.arange(gc), indexing="ij")
     tile = lambda a: np.tile(a.ravel()[None], (b, 1)).astype(np.int32)
@@ -50,22 +50,32 @@ def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
-    fwd = jax.jit(
-        lambda p, d: forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
-    )
+    def _fwd(p, d, i):
+        # Fold a per-iteration counter into the input (unique executions) and
+        # reduce the output to one scalar INSIDE the program: fetching that
+        # scalar is the only reliable completion fence on the remote-tunnel
+        # runtime (block_until_ready has been observed to return early).
+        d = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
+        out = forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+        return jnp.mean(out["patches"].astype(jnp.float32))
+
+    fwd = jax.jit(_fwd)
 
     best = {"img_per_s": 0.0, "batch": 0, "ms_per_img": float("inf")}
     for b in batch_sizes:
         batch = make_batch(b, n_tokens, grid, cfg.pixels_per_token)
+        counter = 0
         try:
             for _ in range(warmup):
-                out = fwd(params, batch)
-            jax.block_until_ready(out)
+                float(fwd(params, batch, jnp.float32(counter)))
+                counter += 1
             t0 = time.perf_counter()
+            vals = []
             for _ in range(iters):
-                out = fwd(params, batch)
-            jax.block_until_ready(out)
+                vals.append(float(fwd(params, batch, jnp.float32(counter))))
+                counter += 1
             dt = (time.perf_counter() - t0) / iters
+            assert all(np.isfinite(v) for v in vals), "non-finite outputs"
         except Exception as e:  # OOM at large batch — keep best so far
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
             break

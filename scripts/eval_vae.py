@@ -1,0 +1,163 @@
+"""Evaluation harness: reconstruction metrics + throughput/latency.
+
+Capability parity with reference ``scripts/eval_vae.py`` (Na-VAE/vitok-release):
+loads a tokenizer (pretrained name or variant string), streams a dataset,
+runs encode->decode with explicit timing fences, computes
+rFID/rFDD/SSIM/PSNR via MetricCalculator, and emits a JSON stats dict.
+
+TPU-native differences: split encoder/decoder run as two jitted XLA programs
+(the analog of the reference's two torch.compile'd AE halves,
+eval_vae.py:74-91), NaFlex token counts are bucketed so jit compiles a small
+fixed set of shapes, and timing uses block_until_ready fences instead of
+cuda.synchronize.
+
+Usage:
+    python scripts/eval_vae.py --model 350M-f16x64 --data /path/to/imgs \
+        --metrics ssim,psnr --max-size 256 --batch-size 8 --num-samples 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_pp(args, spatial_stride: int) -> str:
+    max_tokens = args.max_tokens or (
+        (args.max_size // spatial_stride) ** 2
+    )
+    if args.pp_mode == "adm_center":
+        crop = f"center_crop({args.max_size})|"
+    else:
+        crop = f"resize_longest_side({args.max_size})|"
+    return (
+        crop
+        + "to_tensor|normalize(minus_one_to_one)|"
+        + f"resize_to_token_budget({spatial_stride}, {max_tokens})|"
+        + f"patchify({spatial_stride}, {max_tokens})"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    help="pretrained name (e.g. 350M-f16x64) or variant string")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--metrics", default="ssim,psnr",
+                    help="comma list from ssim,psnr,fid,fdd")
+    ap.add_argument("--pp-mode", default="native", choices=["native", "adm_center"])
+    ap.add_argument("--max-size", type=int, default=256)
+    ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--num-samples", type=int, default=None)
+    ap.add_argument("--swa-window", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--output", default=None, help="JSON output path")
+    ap.add_argument("--random-weights", action="store_true",
+                    help="skip checkpoint load (pipeline smoke / perf runs)")
+    args = ap.parse_args()
+
+    from vitok_tpu.data import create_dataloader
+    from vitok_tpu.metrics import MetricCalculator
+    from vitok_tpu.models import AEConfig, init_params
+    from vitok_tpu.models.ae import decode_apply, encode_apply
+    from vitok_tpu.pp import postprocess
+    from vitok_tpu.pretrained import list_pretrained, load_pretrained_params
+
+    # --- model -----------------------------------------------------------
+    overrides = {}
+    if args.swa_window:
+        overrides["sw"] = args.swa_window
+    if args.model in list_pretrained() and not args.random_weights:
+        cfg, params = load_pretrained_params(args.model)
+        cfg = AEConfig(**{**cfg.__dict__, **overrides})
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.bfloat16), params
+        )
+    else:
+        variant = args.model
+        if args.model in list_pretrained():
+            from vitok_tpu.pretrained import get_pretrained_info
+
+            variant = get_pretrained_info(args.model)[2]
+        cfg = AEConfig.from_variant(variant, **overrides)
+        params = init_params(cfg, jax.random.key(args.seed), dtype=jnp.bfloat16)
+
+    encode = jax.jit(
+        lambda p, d: encode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+    )
+    decode = jax.jit(
+        lambda p, d: decode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+    )
+
+    # --- metrics ---------------------------------------------------------
+    metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    fid_fn = fdd_fn = None
+    if "fid" in metric_names:
+        from vitok_tpu.eval_features import inception_feature_fn
+
+        fid_fn = inception_feature_fn()
+    if "fdd" in metric_names:
+        from vitok_tpu.eval_features import dino_feature_fn
+
+        fdd_fn = dino_feature_fn()
+    calc = MetricCalculator(
+        metrics=metric_names, fid_feature_fn=fid_fn, fdd_feature_fn=fdd_fn
+    )
+
+    pp = build_pp(args, cfg.spatial_stride)
+    loader = create_dataloader(
+        args.data, pp,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        num_samples=args.num_samples,
+    )
+
+    # --- loop ------------------------------------------------------------
+    n_images = 0
+    device_time = 0.0
+    t_start = time.perf_counter()
+    for batch in loader:
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        jax.block_until_ready(jbatch)
+        t0 = time.perf_counter()
+        encoded = encode(params, jbatch)
+        output = decode(params, encoded)
+        jax.block_until_ready(output)
+        device_time += time.perf_counter() - t0
+
+        refs = postprocess(jbatch, do_unpack=True,
+                           patch=cfg.spatial_stride)
+        recons = postprocess(dict(output), do_unpack=True,
+                             patch=cfg.spatial_stride)
+        calc.update(refs, recons)
+        n_images += len(refs)
+    wall = time.perf_counter() - t_start
+
+    stats = calc.gather()
+    stats.update({
+        "model": args.model,
+        "data": args.data,
+        "pp": pp,
+        "throughput_img_per_sec": n_images / max(device_time, 1e-9),
+        "avg_img_latency_ms": device_time / max(n_images, 1) * 1e3,
+        "wall_time_s": wall,
+        "device": str(jax.devices()[0]),
+    })
+    print(json.dumps(stats, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(stats, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,392 @@
+"""Data loading: image folders, webdataset-style tar shards, HF streaming.
+
+Capability parity with reference ``vitok/data.py`` (Na-VAE/vitok-release),
+rebuilt as a dependency-light host pipeline that feeds the TPU step:
+
+* ``create_dataloader`` auto-detects the source: named HF streaming dataset,
+  directory of images, or (comma-separated, brace-expanded) tar shards —
+  same dispatch as data.py:230-329,
+* tar shards are read with the stdlib ``tarfile`` (no webdataset dep),
+  grouping files by key and decoding ``cls``/``cls.txt`` labels like
+  ``_decode_label`` (data.py:97-112); corrupt samples are skipped
+  (ignore-and-continue semantics),
+* rank-strided sharding ``items[rank::world]`` for both file lists and shard
+  URL lists (data.py:163-164, 387-390),
+* a background prefetch thread with a bounded queue overlaps host decode /
+  transform with device compute (replaces torch DataLoader workers),
+* everything yields collated numpy patch-dict batches — one host->device
+  transfer per step at the training loop.
+"""
+
+from __future__ import annotations
+
+import io
+import itertools
+import os
+import queue
+import random
+import re
+import tarfile
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageOps
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    HAS_PIL = False
+
+from vitok_tpu.pp.io import patch_collate_fn
+from vitok_tpu.pp.registry import build_transform
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".webp", ".bmp", ".ppm")
+
+# Named HF streaming datasets (repo, split, image_key) — reference
+# data.py:62-74.
+HF_DATASETS: Dict[str, Tuple[str, str, str]] = {
+    "coco": ("detection-datasets/coco", "val", "image"),
+    "div8k": ("Iceclear/DIV8K_TrainingSet", "train", "image"),
+    "nature": ("Chris1/nature", "train", "image"),
+    "portraits": ("jlbaker361/portraits", "train", "image"),
+    "text": ("rajpurkar/squad", "train", "image"),
+    "architecture": ("Chris1/architecture", "train", "image"),
+    "animals": ("Chris1/animals", "train", "image"),
+    "foliage": ("Chris1/foliage", "train", "image"),
+    "faces": ("nielsr/CelebA-faces", "train", "image"),
+    "urban": ("Chris1/urban", "train", "image"),
+}
+
+
+def to_rgb(img: "Image.Image") -> "Image.Image":
+    """EXIF-transpose, alpha-composite over white, convert to RGB."""
+    try:
+        img = ImageOps.exif_transpose(img)
+    except Exception:
+        pass
+    if img.mode in ("RGBA", "LA", "PA"):
+        background = Image.new("RGB", img.size, (255, 255, 255))
+        background.paste(img, mask=img.getchannel("A"))
+        return background
+    if img.mode != "RGB":
+        return img.convert("RGB")
+    return img
+
+
+def _decode_label(sample: Dict[str, bytes]) -> int:
+    """Parse a webdataset ``cls``/``cls.txt`` label field; -1 when absent."""
+    for key in ("cls", "cls.txt"):
+        if key in sample:
+            try:
+                return int(sample[key].decode().strip())
+            except (ValueError, UnicodeDecodeError):
+                return -1
+    return -1
+
+
+# ---------------------------------------------------------------------------
+# Source resolution (brace expansion, multi-source, rank striding)
+# ---------------------------------------------------------------------------
+
+
+def brace_expand(url: str) -> List[str]:
+    """Expand ``prefix-{0000..0009}.tar`` patterns (webdataset convention)."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", url)
+    if not m:
+        return [url]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    return [
+        url[: m.start()] + str(i).zfill(width) + url[m.end():]
+        for i in range(int(lo), int(hi) + 1)
+    ]
+
+
+def resolve_source(
+    source: str,
+    rank: int = 0,
+    world: int = 1,
+    seed: int = 0,
+) -> List[str]:
+    """Comma-separated multi-source -> flat, shuffled, rank-strided URL list.
+
+    ``hf://org/repo/pattern`` URLs become curl-pipe specs against the HF CDN
+    (reference _hf_to_urls, data.py:358-381).
+    """
+    urls: List[str] = []
+    for part in source.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("hf://"):
+            path = part[len("hf://"):]
+            repo, _, pattern = path.partition("/")
+            repo = repo + "/" + pattern.split("/")[0] if "/" not in repo else repo
+            expanded = brace_expand(part[len("hf://"):])
+            for rel in expanded:
+                org_repo = "/".join(rel.split("/")[:2])
+                file_path = "/".join(rel.split("/")[2:])
+                token = os.environ.get("HF_TOKEN", "")
+                header = f" -H 'Authorization: Bearer {token}'" if token else ""
+                urls.append(
+                    "pipe:curl -sL"
+                    f"{header} https://huggingface.co/datasets/{org_repo}"
+                    f"/resolve/main/{file_path}"
+                )
+        else:
+            urls.extend(brace_expand(part))
+    rng = random.Random(seed)
+    rng.shuffle(urls)
+    return urls[rank::world]
+
+
+# ---------------------------------------------------------------------------
+# Tar shard iteration (webdataset-format, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def iter_tar_samples(url: str) -> Iterator[Dict[str, bytes]]:
+    """Yield key-grouped samples from one tar shard (local path or pipe:)."""
+    if url.startswith("pipe:"):
+        import subprocess
+
+        proc = subprocess.Popen(
+            url[len("pipe:"):], shell=True, stdout=subprocess.PIPE
+        )
+        fileobj = proc.stdout
+        tf = tarfile.open(fileobj=fileobj, mode="r|*")
+    else:
+        tf = tarfile.open(url, mode="r|*")
+
+    current_key: Optional[str] = None
+    sample: Dict[str, bytes] = {}
+    try:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            base = os.path.basename(name)
+            key, _, ext = base.partition(".")
+            if current_key is not None and key != current_key:
+                if sample:
+                    yield sample
+                sample = {}
+            current_key = key
+            try:
+                data = tf.extractfile(member)
+                if data is not None:
+                    sample[ext] = data.read()
+            except Exception:
+                continue  # corrupt member: ignore and continue
+        if sample:
+            yield sample
+    finally:
+        tf.close()
+
+
+def _sample_to_image(sample: Dict[str, bytes], image_keys=("jpg", "jpeg", "png", "webp")):
+    for k in image_keys:
+        if k in sample:
+            try:
+                return to_rgb(Image.open(io.BytesIO(sample[k])))
+            except Exception:
+                return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+
+def _iter_image_folder(
+    root: str, rank: int, world: int, seed: int, repeat: bool
+) -> Iterator[Tuple["Image.Image", int]]:
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.lower().endswith(IMAGE_EXTENSIONS)
+    )
+    rng = random.Random(seed)
+    rng.shuffle(files)
+    files = files[rank::world]
+    if not files:
+        return
+    for epoch in itertools.count():
+        order = list(files)
+        random.Random(seed + epoch).shuffle(order)
+        for path in order:
+            try:
+                yield to_rgb(Image.open(path)), -1
+            except Exception:
+                continue
+        if not repeat:
+            return
+
+
+def _iter_tar_shards(
+    urls: Sequence[str],
+    seed: int,
+    shuffle_buffer: int,
+    repeat: bool,
+    min_size: int = 0,
+) -> Iterator[Tuple["Image.Image", int]]:
+    if not urls:
+        return
+    rng = random.Random(seed)
+    buffer: List[Tuple["Image.Image", int]] = []
+    for epoch in itertools.count():
+        order = list(urls)
+        random.Random(seed + epoch).shuffle(order)
+        for url in order:
+            try:
+                for sample in iter_tar_samples(url):
+                    img = _sample_to_image(sample)
+                    if img is None:
+                        continue
+                    if min_size and min(img.size) < min_size:
+                        continue
+                    item = (img, _decode_label(sample))
+                    if shuffle_buffer > 1:
+                        buffer.append(item)
+                        if len(buffer) >= shuffle_buffer:
+                            idx = rng.randrange(len(buffer))
+                            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                            yield buffer.pop()
+                    else:
+                        yield item
+            except Exception:
+                continue  # corrupt shard: ignore and continue
+        while buffer:
+            yield buffer.pop()
+        if not repeat:
+            return
+
+
+def _iter_hf_streaming(
+    name: str, seed: int, num_samples: Optional[int]
+) -> Iterator[Tuple["Image.Image", int]]:
+    from datasets import load_dataset  # gated: needs `datasets` + network
+
+    repo, split, image_key = HF_DATASETS[name]
+    ds = load_dataset(repo, split=split, streaming=True)
+    ds = ds.shuffle(seed=seed, buffer_size=1000)
+    count = 0
+    for ex in ds:
+        if num_samples is not None and count >= num_samples:
+            return
+        img = ex.get(image_key)
+        if img is None:
+            continue
+        yield to_rgb(img), int(ex.get("label", -1))
+        count += 1
+
+
+class PrefetchingLoader:
+    """Iterate collated batches with a background producer thread."""
+
+    def __init__(self, gen_factory: Callable[[], Iterator], prefetch: int = 2):
+        self._factory = gen_factory
+        self._prefetch = prefetch
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def produce():
+            try:
+                for item in self._factory():
+                    q.put(item)
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def create_dataloader(
+    source: str,
+    pp: str,
+    batch_size: int = 8,
+    seed: int = 0,
+    rank: int = 0,
+    world: int = 1,
+    shuffle_buffer: int = 250,
+    num_samples: Optional[int] = None,
+    repeat: bool = False,
+    min_size: int = 0,
+    prefetch: int = 2,
+    partial: bool = False,
+    return_labels: bool = False,
+):
+    """Auto-detecting batch loader (reference create_dataloader semantics).
+
+    Source forms: a name in ``HF_DATASETS``; a directory of images; a
+    comma-separated list of tar shards / brace patterns / hf:// URLs.
+
+    Yields collated numpy patch-dict batches (plus ``labels`` when
+    ``return_labels``). ``partial=False`` drops ragged final batches
+    (matching ``.batched(partial=False)``).
+    """
+    transform = build_transform(pp)
+
+    def sample_iter() -> Iterator[Tuple["Image.Image", int]]:
+        if source in HF_DATASETS:
+            return _iter_hf_streaming(source, seed, num_samples)
+        if os.path.isdir(source):
+            return _iter_image_folder(source, rank, world, seed, repeat)
+        urls = resolve_source(source, rank, world, seed)
+        return _iter_tar_shards(urls, seed + rank, shuffle_buffer, repeat, min_size)
+
+    def batch_gen():
+        batch: List[dict] = []
+        labels: List[int] = []
+        n_seen = 0
+        for img, label in sample_iter():
+            if num_samples is not None and n_seen >= num_samples:
+                break
+            try:
+                d = transform(img)
+            except Exception:
+                continue
+            batch.append(d)
+            labels.append(label)
+            n_seen += 1
+            if len(batch) == batch_size:
+                out = patch_collate_fn(batch)
+                if return_labels:
+                    out["labels"] = np.asarray(labels, np.int64)
+                yield out
+                batch, labels = [], []
+        if batch and partial:
+            out = patch_collate_fn(batch)
+            if return_labels:
+                out["labels"] = np.asarray(labels, np.int64)
+            yield out
+
+    return PrefetchingLoader(batch_gen, prefetch=prefetch)
+
+
+__all__ = [
+    "HF_DATASETS",
+    "create_dataloader",
+    "patch_collate_fn",
+    "to_rgb",
+    "brace_expand",
+    "resolve_source",
+    "iter_tar_samples",
+    "PrefetchingLoader",
+]

@@ -11,6 +11,7 @@ from vitok_tpu.parallel.sharding import (
     ae_param_specs,
     batch_specs,
     param_shardings,
+    place_on_mesh,
     replicated,
     shard_batch,
     shard_params,
@@ -25,6 +26,7 @@ __all__ = [
     "ae_param_specs",
     "batch_specs",
     "param_shardings",
+    "place_on_mesh",
     "replicated",
     "shard_batch",
     "shard_params",

@@ -101,6 +101,24 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def place_on_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf not already carrying a NamedSharding on ``mesh``.
+
+    Makes mixed pytrees (sharded params + scalar step/optimizer counters)
+    device-consistent for jit — required after a checkpoint restore, where
+    scalars come back committed to a single device.
+    """
+    rep = replicated(mesh)
+
+    def place(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 __all__ = [
     "ae_param_specs",
     "shard_params",

@@ -128,8 +128,10 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        # copy=True: fp32 params would otherwise alias the EMA buffers, and
+        # donating the state then donates the same buffer twice.
         ema_params=jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.float32), params
+            lambda p: jnp.array(p, jnp.float32, copy=True), params
         )
         if ema
         else None,
