@@ -42,39 +42,66 @@ def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
 
 
 def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
-                  iters=20, warmup=3, attn_impl="auto"):
+                  iters=20, warmup=3, attn_impl="auto", quant=False):
     from vitok_tpu.models import AEConfig, init_params
     from vitok_tpu.models.ae import forward_apply
 
     cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if quant:
+        # Same methodology as the reference baseline, whose A100 numbers run
+        # torchao FP8-quantized (eval_vae.py:85); int8 is the v5e analog.
+        from vitok_tpu.ops.quant import quantize_block_params
 
-    def _fwd(p, d, i):
+        params = quantize_block_params(params, offload=True)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def fwd(p, d, i, chain):
         # Fold a per-iteration counter into the input (unique executions) and
         # reduce the output to one scalar INSIDE the program: fetching that
         # scalar is the only reliable completion fence on the remote-tunnel
         # runtime (block_until_ready has been observed to return early).
-        d = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
-        out = forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
-        return jnp.mean(out["patches"].astype(jnp.float32))
+        # `chain` sequential forwards amortize the ~35ms tunnel RTT for small
+        # models; the output patches feed the next forward (data dependency
+        # prevents any elision).
+        patches = d["patches"] + (i * 0.0).astype(jnp.bfloat16)
 
-    fwd = jax.jit(_fwd)
+        def body(_, pt):
+            out = forward_apply(
+                p, dict(d, patches=pt), cfg, compute_dtype=jnp.bfloat16
+            )
+            return out["patches"]
+
+        final = jax.lax.fori_loop(0, chain, body, patches)
+        return jnp.mean(final.astype(jnp.float32))
 
     best = {"img_per_s": 0.0, "batch": 0, "ms_per_img": float("inf")}
     for b in batch_sizes:
         batch = make_batch(b, n_tokens, grid, cfg.pixels_per_token)
         counter = 0
         try:
-            for _ in range(warmup):
-                float(fwd(params, batch, jnp.float32(counter)))
+            float(fwd(params, batch, jnp.float32(counter), 1))
+            counter += 1
+            t0 = time.perf_counter()
+            float(fwd(params, batch, jnp.float32(counter), 1))
+            counter += 1
+            t_single = time.perf_counter() - t0
+            # Pick chain so one dispatch runs >= ~0.5s of device work.
+            chain = int(min(max(round(0.5 / max(t_single, 1e-3)), 1), 32))
+            for _ in range(max(warmup - 1, 1)):
+                float(fwd(params, batch, jnp.float32(counter), chain))
                 counter += 1
             t0 = time.perf_counter()
             vals = []
             for _ in range(iters):
-                vals.append(float(fwd(params, batch, jnp.float32(counter))))
+                vals.append(
+                    float(fwd(params, batch, jnp.float32(counter), chain))
+                )
                 counter += 1
-            dt = (time.perf_counter() - t0) / iters
+            dt = (time.perf_counter() - t0) / (iters * chain)
             assert all(np.isfinite(v) for v in vals), "non-finite outputs"
         except Exception as e:  # OOM at large batch — keep best so far
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
@@ -105,6 +132,8 @@ def main():
     ap.add_argument("--variant", default="Td4-T/1x16x64")
     ap.add_argument("--batches", default=None, help="comma-separated batch sizes")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="int8", choices=["bf16", "int8"],
+                    help="int8 matches the reference's quantized-eval methodology")
     args = ap.parse_args()
 
     if args.quick:
@@ -120,15 +149,18 @@ def main():
         )
         iters = args.iters
 
-    best = bench_variant(variant, batches, iters=iters)
+    best = bench_variant(
+        variant, batches, iters=iters, quant=(args.dtype == "int8")
+    )
     result = {
-        "metric": f"{variant} encode+decode img/s/chip @256p bf16",
+        "metric": f"{variant} encode+decode img/s/chip @256p {args.dtype}",
         "value": round(best["img_per_s"], 2),
         "unit": "img/s",
         "vs_baseline": round(best["img_per_s"] / A100_REF_IMG_PER_S, 3),
         "ms_per_img": round(best["ms_per_img"], 3),
         "batch": best["batch"],
         "mfu": round(best["mfu"], 3),
+        "dtype": args.dtype,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -1,0 +1,197 @@
+"""DiT + UniPC tests — mirrors the reference's documented API surface
+(tests/cpu/test_dit.py, tests/cpu/test_unipc.py) plus a convergence check
+the reference never had: exact recovery of x0 for a linear flow field.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.models.dit import (
+    DiT,
+    decode_variant as decode_dit_variant,
+    timestep_embedding,
+)
+from vitok_tpu.unipc import FlowUniPCMultistepScheduler
+
+
+def dit_input(b=2, n=64, c=32, seed=0, with_pos=True):
+    rng = np.random.default_rng(seed)
+    side = int(np.sqrt(n))
+    d = {
+        "z": jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)),
+        "t": jnp.asarray(rng.integers(0, 1000, (b,)).astype(np.float32)),
+        "context": jnp.asarray(rng.integers(0, 1000, (b,))),
+    }
+    if with_pos:
+        yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+        d["row_idx"] = jnp.tile(jnp.asarray(yy.ravel())[None], (b, 1))
+        d["col_idx"] = jnp.tile(jnp.asarray(xx.ravel())[None], (b, 1))
+    return d
+
+
+SMALL = dict(width=64, depth=2, heads=2, mlp_factor=2.0, max_tokens=64)
+
+
+class TestDiT:
+    def test_variant_dsl(self):
+        p = decode_dit_variant("Bd4/256")
+        assert p["width"] == 768 and p["depth"] == 4 and p["max_tokens"] == 256
+
+    def test_instantiation(self):
+        m = DiT(**decode_dit_variant("Bd4/256"), code_width=32, text_dim=1000)
+        assert m.code_width == 32 and m.text_dim == 1000
+        assert m.num_params() > 1_000_000
+
+    def test_forward_shape(self):
+        m = DiT(**SMALL, code_width=32, text_dim=100, attn_impl="xla")
+        d = dit_input()
+        out = m(d)
+        assert out.shape == d["z"].shape
+        assert not bool(jnp.isnan(out).any())
+
+    def test_forward_without_positions(self):
+        m = DiT(**SMALL, code_width=32, text_dim=100, attn_impl="xla")
+        out = m(dit_input(with_pos=False))
+        assert out.shape == (2, 64, 32)
+
+    def test_seq_lengths(self):
+        m = DiT(**SMALL, code_width=32, text_dim=100, attn_impl="xla")
+        for side in (4, 8):
+            out = m(dit_input(n=side * side))
+            assert out.shape == (2, side * side, 32)
+
+    def test_cfg_batch_doubling(self):
+        m = DiT(**SMALL, code_width=16, text_dim=10, attn_impl="xla")
+        d = dit_input(b=2, c=16)
+        d["context"] = jnp.array([3, 5])
+        null = jnp.array([10, 10])
+        d2 = {
+            "z": jnp.concatenate([d["z"], d["z"]]),
+            "t": jnp.concatenate([d["t"], d["t"]]),
+            "context": jnp.concatenate([d["context"], null]),
+            "row_idx": jnp.concatenate([d["row_idx"], d["row_idx"]]),
+            "col_idx": jnp.concatenate([d["col_idx"], d["col_idx"]]),
+        }
+        out = m(d2)
+        cond, uncond = out[:2], out[2:]
+        guided = uncond + 4.0 * (cond - uncond)
+        assert not bool(jnp.isnan(guided).any())
+        # cond vs uncond must differ (class conditioning is live)
+        assert float(jnp.abs(cond - uncond).max()) > 1e-6
+
+    def test_special_tokens(self):
+        m = DiT(
+            **SMALL, code_width=16, text_dim=10,
+            class_token=True, reg_tokens=4, attn_impl="xla",
+        )
+        assert m.cls_token is not None and m.reg_token is not None
+        assert m.num_special_tokens == 5
+        out = m(dit_input(b=1, c=16))
+        assert out.shape == (1, 64, 16)  # specials stripped
+
+    def test_timestep_embedding(self):
+        t = jnp.array([0.0, 500.0, 999.0])
+        emb = timestep_embedding(t, 256)
+        assert emb.shape == (3, 256)
+        assert float(jnp.abs(emb).max()) <= 1.0 + 1e-6
+        assert float(jnp.abs(emb[0] - emb[1]).max()) > 1e-3
+        for dim in (64, 128, 512):
+            assert timestep_embedding(t, dim).shape == (3, dim)
+
+
+class TestUniPC:
+    def test_defaults(self):
+        s = FlowUniPCMultistepScheduler()
+        assert s.config.num_train_timesteps == 1000
+        assert s.config.solver_order == 2
+        assert s.config.prediction_type == "flow_prediction"
+
+    def test_set_timesteps(self):
+        s = FlowUniPCMultistepScheduler()
+        s.set_timesteps(num_inference_steps=20)
+        assert s.num_inference_steps == 20
+        assert len(s.timesteps) == 20
+        assert len(s.sigmas) == 21
+        assert s.sigmas[0] > 0.9 and s.sigmas[-1] <= 0.01
+        ts = s.timesteps
+        assert all(ts[i] > ts[i + 1] for i in range(len(ts) - 1))
+
+    def test_shift_changes_sigmas(self):
+        a = FlowUniPCMultistepScheduler(shift=1.0)
+        b = FlowUniPCMultistepScheduler(shift=3.0)
+        a.set_timesteps(20)
+        b.set_timesteps(20)
+        assert not np.allclose(a.sigmas, b.sigmas)
+
+    def test_time_shift_identity(self):
+        s = FlowUniPCMultistepScheduler(use_dynamic_shifting=True)
+        out = s.time_shift(0.0, 1.0, np.array([0.5]))
+        expected = 1.0 / (1.0 + (1.0 / 0.5 - 1.0))
+        assert abs(float(out[0]) - expected) < 1e-5
+
+    def test_step_all_timesteps_finite(self):
+        rng = np.random.default_rng(0)
+        s = FlowUniPCMultistepScheduler()
+        s.set_timesteps(10)
+        sample = rng.standard_normal((2, 64, 32)).astype(np.float32)
+        for t in s.timesteps:
+            mo = rng.standard_normal(sample.shape).astype(np.float32)
+            sample = s.step(mo, t, sample).prev_sample
+            assert np.isfinite(np.asarray(sample)).all()
+
+    def test_return_dict_false(self):
+        s = FlowUniPCMultistepScheduler()
+        s.set_timesteps(10)
+        sample = np.zeros((1, 8, 4), np.float32)
+        out = s.step(np.zeros_like(sample), s.timesteps[0], sample,
+                     return_dict=False)
+        assert isinstance(out, tuple) and len(out) == 1
+
+    def test_add_noise(self):
+        s = FlowUniPCMultistepScheduler()
+        s.set_timesteps(20)
+        rng = np.random.default_rng(1)
+        x0 = rng.standard_normal((1, 16, 8)).astype(np.float32)
+        eps = rng.standard_normal(x0.shape).astype(np.float32)
+        early = s.add_noise(x0, eps, np.array([s.timesteps[0]]))
+        late = s.add_noise(x0, eps, np.array([s.timesteps[-1]]))
+        assert np.abs(early - x0).mean() > np.abs(late - x0).mean()
+
+    def test_scale_model_input_identity(self):
+        s = FlowUniPCMultistepScheduler()
+        x = np.ones((2, 3))
+        assert np.allclose(s.scale_model_input(x), x)
+
+    def test_determinism(self):
+        results = []
+        for _ in range(2):
+            rng = np.random.default_rng(42)
+            s = FlowUniPCMultistepScheduler()
+            s.set_timesteps(10)
+            sample = rng.standard_normal((1, 16, 4)).astype(np.float32)
+            for t in s.timesteps:
+                mo = rng.standard_normal(sample.shape).astype(np.float32) * 0.1
+                sample = s.step(mo, t, sample).prev_sample
+            results.append(np.asarray(sample))
+        np.testing.assert_allclose(results[0], results[1], atol=1e-6)
+
+    @pytest.mark.parametrize("solver_type", ["bh1", "bh2"])
+    @pytest.mark.parametrize("steps", [5, 20])
+    def test_exact_linear_flow_recovery(self, solver_type, steps):
+        """With the exact constant velocity eps - x0, sampling from eps at
+        sigma=1 down to sigma=0 must recover x0 (the flow ODE is linear)."""
+        rng = np.random.default_rng(3)
+        x0 = rng.standard_normal((1, 8, 4)).astype(np.float32)
+        eps = rng.standard_normal(x0.shape).astype(np.float32)
+        v = eps - x0  # exact velocity everywhere
+
+        s = FlowUniPCMultistepScheduler(solver_type=solver_type)
+        s.set_timesteps(steps)
+        sample = eps.copy()
+        for t in s.timesteps:
+            sample = s.step(v, t, sample).prev_sample
+        err = np.abs(np.asarray(sample) - x0).max()
+        assert err < 5e-2, err

@@ -1,0 +1,91 @@
+"""Int8 quantization tests: numerics, idempotence, SSIM quality gate.
+
+Mirrors the reference's FP8/INT8 gates
+(``tests/gpu/test_float8_inference.py``): quantized-vs-full SSIM >= 0.99 on
+reconstructions, no NaNs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.losses import ssim
+from vitok_tpu.models import AE, AEConfig, decode_variant, init_params
+from vitok_tpu.models.ae import forward_apply
+from vitok_tpu.ops.quant import int8_linear, quantize_block_params, quantize_weight
+from tests.test_ae import TINY, make_batch
+
+
+class TestQuantOps:
+    def test_weight_roundtrip_accuracy(self):
+        k = jax.random.normal(jax.random.key(0), (64, 32))
+        qp = quantize_weight(k)
+        assert qp["kernel_int8"].dtype == jnp.int8
+        deq = qp["kernel_int8"].astype(jnp.float32) * qp["scale"]
+        rel = np.abs(np.asarray(deq - k)).max() / np.abs(np.asarray(k)).max()
+        assert rel < 0.01  # <= 1/127 relative
+
+    def test_int8_linear_close_to_fp(self):
+        rng = jax.random.key(1)
+        x = jax.random.normal(rng, (4, 16, 64))
+        k = jax.random.normal(jax.random.key(2), (64, 32)) * 0.05
+        ref = x @ k
+        got = int8_linear(x, quantize_weight(k))
+        err = np.abs(np.asarray(got - ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err / scale < 0.03
+
+    def test_quantize_idempotent(self):
+        cfg = AEConfig(**TINY)
+        p = init_params(cfg, jax.random.key(0))
+        q1 = quantize_block_params(p)
+        q2 = quantize_block_params(q1)
+        k1 = q1["encoder_blocks"]["attn"]["qkv"]["kernel_int8"]
+        k2 = q2["encoder_blocks"]["attn"]["qkv"]["kernel_int8"]
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+    def test_non_block_params_untouched(self):
+        cfg = AEConfig(**TINY)
+        p = init_params(cfg, jax.random.key(0))
+        q = quantize_block_params(p)
+        assert "kernel" in q["patch_embed"]
+        assert "kernel_int8" not in q["patch_embed"]
+
+
+class TestQuantQuality:
+    def test_ssim_gate(self):
+        """Quantized reconstruction must stay within SSIM >= 0.99 of bf16."""
+        model = AE(
+            **decode_variant("w128_d2_h2-w128_d4_h2/1x16x16"), attn_impl="xla"
+        )
+        batch = make_batch(b=2, n=64, grid=(8, 8), seed=3)
+        full = model(batch)
+
+        model.quantize()
+        quant = model(batch)
+
+        assert not bool(jnp.isnan(quant["patches"]).any())
+        # Compare decoded patch tensors as images via SSIM proxy
+        from vitok_tpu.train_lib import unpatchify_dense_static
+
+        img_f = unpatchify_dense_static(dict(full), 8, 8, 16)
+        img_q = unpatchify_dense_static(dict(quant), 8, 8, 16)
+        # Normalize to a common range for the gate
+        lo = float(jnp.minimum(img_f.min(), img_q.min()))
+        hi = float(jnp.maximum(img_f.max(), img_q.max()))
+        rng_ = max(hi - lo, 1e-6)
+        s = float(
+            ssim(
+                img_f.astype(jnp.float32), img_q.astype(jnp.float32),
+                data_range=rng_,
+            )
+        )
+        assert s >= 0.99, s
+
+    def test_quantize_api_parity(self):
+        model = AE(**TINY)
+        out = model.quantize()
+        assert out is model  # returns self like the reference
+        model.quantize()  # idempotent

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from vitok_tpu.ops.attention import dot_product_attention
-from vitok_tpu.ops.mlp import round_hidden_dim, swiglu
+from vitok_tpu.ops.mlp import round_hidden_dim
 from vitok_tpu.ops.norms import layer_norm, layer_scale, rms_norm
 from vitok_tpu.ops.rope import apply_rotary_emb, compute_2d_freqs_cis
 
@@ -299,8 +299,14 @@ def num_params(params: Params) -> int:
 
 
 def _linear(x: Array, p: Params) -> Array:
-    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    if "kernel_int8" in p:
+        from vitok_tpu.ops.quant import int8_linear
+
+        y = int8_linear(x, p)
+    else:
+        y = jnp.dot(
+            x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -343,7 +349,9 @@ def _block_body(
     attn = _linear(attn, blk["attn"]["out"])
 
     # --- mlp branch (parallel: reads the same normed input) ---
-    mlp = swiglu(h, blk["ffn"]["fc1"]["kernel"], blk["ffn"]["fc2"]["kernel"])
+    hid = _linear(h, blk["ffn"]["fc1"])
+    mv, mg = jnp.split(hid, 2, axis=-1)
+    mlp = _linear(jax.nn.silu(mg) * mv, blk["ffn"]["fc2"])
 
     combined = attn + mlp
     if "layer_scale" in blk:
@@ -596,6 +604,18 @@ class AE:
 
     def num_params(self) -> int:
         return num_params(self.params)
+
+    def quantize(self) -> "AE":
+        """Int8 dynamic-activation/int8-weight quantization per block.
+
+        API parity with the reference's torchao FP8 ``quantize()``
+        (ae.py:253-270); idempotent. On v5e the int8 MXU path runs at 2x the
+        bf16 rate; quality is gated at SSIM >= 0.99 vs bf16 in tests.
+        """
+        from vitok_tpu.ops.quant import quantize_block_params
+
+        self.params = quantize_block_params(self.params)
+        return self
 
 
 def Model(**kw) -> AE:

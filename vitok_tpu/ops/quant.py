@@ -1,0 +1,124 @@
+"""Int8 quantized inference path (dynamic activation × int8 weight).
+
+The TPU-native replacement for the reference's torchao FP8 dynamic-activation
+/ FP8-weight quantization (``vitok/models/ae.py:253-270`` in
+Na-VAE/vitok-release). v5e has no FP8 MXU mode; its int8 path runs at 2× the
+bf16 rate, so we use AQT-style int8×int8:
+
+* weights: per-output-channel symmetric int8 (absmax / 127),
+* activations: per-token dynamic symmetric int8 computed on the fly,
+* the matmul accumulates in int32 on the MXU, then rescales in fp32.
+
+Quality is gated the same way the reference gates FP8/INT8
+(SSIM >= 0.99 vs bf16 — tests/gpu/test_float8_inference.py:350-355).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+# Linears quantized inside each transformer block (embeds/heads stay bf16 —
+# same scope as the reference, which quantizes blocks only, ae.py:261-267).
+_QUANT_KEYS = ("qkv", "out", "fc1", "fc2")
+
+
+def quantize_weight(kernel: Array, offload: bool = False) -> Dict[str, Array]:
+    """Per-output-channel symmetric int8 quantization of ``[..., in, out]``.
+
+    ``offload=True`` quantizes via host numpy — avoids the fp32 transient on
+    device, which matters for 5B-scale stacked kernels on a 16GB chip.
+    """
+    if offload:
+        import numpy as np
+
+        k32 = np.asarray(jax.device_get(kernel), np.float32)
+        absmax = np.abs(k32).max(axis=-2, keepdims=True)
+        scale = np.maximum(absmax / 127.0, 1e-12)
+        q = np.clip(np.round(k32 / scale), -127, 127).astype(np.int8)
+        if hasattr(kernel, "delete"):
+            kernel.delete()
+        return {
+            "kernel_int8": jnp.asarray(q),
+            "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
+        }
+    k32 = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # [..., 1, out]
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return {"kernel_int8": q, "scale": scale.squeeze(-2).astype(jnp.float32)}
+
+
+def int8_linear(x: Array, qp: Dict[str, Array]) -> Array:
+    """Dynamic per-token int8 activation × int8 weight matmul.
+
+    x: ``[..., in]`` (bf16/fp32); qp: {"kernel_int8": [in, out], "scale": [out]}.
+    Returns ``[..., out]`` in x.dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    a_absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(a_absmax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq,
+        qp["kernel_int8"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * a_scale * qp["scale"]
+    return out.astype(x.dtype)
+
+
+def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Params:
+    """Quantize every block linear in an AE params pytree (idempotent).
+
+    Returns a new pytree where block ``kernel`` leaves are replaced by
+    ``kernel_int8`` + ``scale``; non-block params are untouched. ``offload``
+    defaults to True for models over ~1B params (host-side quantization,
+    frees each bf16 kernel as it converts — fits 5B on a 16GB chip).
+    """
+    if offload is None:
+        total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        offload = total > 1_000_000_000
+
+    def q_stack(stack: Params) -> Params:
+        out: Params = {}
+        for name, sub in stack.items():
+            if isinstance(sub, dict):
+                if name in _QUANT_KEYS and "kernel" in sub:
+                    out[name] = quantize_weight(sub["kernel"], offload=offload)
+                elif "kernel_int8" in sub:
+                    out[name] = sub  # already quantized
+                else:
+                    out[name] = q_stack(sub)
+            else:
+                out[name] = sub
+        return out
+
+    result: Params = {}
+    for key, value in params.items():
+        if key in ("encoder_blocks", "decoder_blocks"):
+            result[key] = q_stack(value)
+        else:
+            result[key] = value
+    return result
+
+
+def is_quantized(params: Params) -> bool:
+    return any(
+        "kernel_int8" in str(p)
+        for p in [jax.tree_util.tree_structure(params)]
+    )
+
+
+__all__ = [
+    "quantize_weight",
+    "int8_linear",
+    "quantize_block_params",
+    "is_quantized",
+]
