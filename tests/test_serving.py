@@ -1,0 +1,48 @@
+"""Token-bucketing serving tests: static shapes, ragged batches, crop-back."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vitok_tpu import AE, decode_variant
+from vitok_tpu.serving import ServingPipeline, TokenBucketer, bucket_for_tokens
+
+
+def img(w, h, seed=0):
+    return Image.fromarray(
+        np.random.default_rng(seed).integers(0, 255, (h, w, 3), dtype=np.uint8)
+    )
+
+
+class TestBucketing:
+    def test_bucket_selection(self):
+        assert bucket_for_tokens(50, (64, 256)) == 64
+        assert bucket_for_tokens(64, (64, 256)) == 64
+        assert bucket_for_tokens(65, (64, 256)) == 256
+        assert bucket_for_tokens(9999, (64, 256)) == 256  # clamps to largest
+
+    def test_prepare_shapes(self):
+        b = TokenBucketer(patch=16, buckets=(64, 256))
+        bucket, d = b.prepare(img(128, 128))  # 64 tokens
+        assert bucket == 64 and d["patches"].shape == (64, 768)
+        bucket, d = b.prepare(img(320, 200))  # 260 tokens -> resized into 256
+        assert bucket == 256
+        assert int(d["patch_mask"].sum()) <= 256
+
+    def test_batch_stream_groups_by_bucket(self):
+        b = TokenBucketer(patch=16, buckets=(64, 256))
+        imgs = [img(128, 128, i) for i in range(3)] + [img(256, 256, 9)]
+        batches = list(b.batch_stream(imgs, batch_size=2))
+        shapes = {(bk, d["patches"].shape[0]) for bk, d in batches}
+        assert (64, 2) in shapes          # full small-bucket batch
+        assert any(bk == 256 for bk, _ in batches)
+
+    def test_pipeline_end_to_end(self):
+        model = AE(**decode_variant("w64_d2_h2-w64_d2_h2/1x16x8"), attn_impl="xla")
+        pipe = ServingPipeline(model, buckets=(64, 256), batch_size=2)
+        inputs = [img(128, 128, 1), img(96, 64, 2), img(200, 320, 3)]
+        outs = pipe.run(inputs)
+        assert len(outs) == 3
+        sizes = sorted(o.shape for o in outs)
+        # 200x320 lands in the 256 bucket: 13x20=260 > 256 -> budget-resized
+        assert (3, 64, 96) in sizes and (3, 128, 128) in sizes

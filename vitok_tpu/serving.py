@@ -1,0 +1,139 @@
+"""Static-shape serving: NaFlex token-count bucketing.
+
+BASELINE.json's design requirement: variable-resolution inputs must not
+trigger a recompile per shape — "batched encode/decode saturates the MXU via
+static-shape bucketing of NaFlex token counts instead of dynamic padding."
+
+``TokenBucketer`` snaps every image to the smallest bucket whose budget
+holds its patch grid (resizing down only when even the largest bucket
+overflows), groups a request stream into per-bucket batches, and the
+``ServingPipeline`` keeps at most ``len(buckets)`` compiled programs alive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.pp.ops import (
+    fit_to_token_budget,
+    patchify_array,
+    to_tensor,
+    normalize,
+    _resize_chw_bicubic,
+)
+from vitok_tpu.pp.io import patch_collate_fn
+
+DEFAULT_BUCKETS = (64, 256, 1024, 4096)
+
+
+def bucket_for_tokens(n_tokens: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n_tokens, else the largest bucket."""
+    for b in sorted(buckets):
+        if n_tokens <= b:
+            return b
+    return max(buckets)
+
+
+@dataclasses.dataclass
+class TokenBucketer:
+    """Assigns images to static token buckets, resizing only on overflow."""
+
+    patch: int = 16
+    buckets: Sequence[int] = DEFAULT_BUCKETS
+    norm_mode: str = "minus_one_to_one"
+
+    def prepare(self, img) -> Tuple[int, dict]:
+        """PIL image -> (bucket, patch dict padded to that bucket)."""
+        arr = to_tensor()(img)
+        arr = normalize(self.norm_mode)(arr)
+        c, h, w = arr.shape
+        n = math.ceil(h / self.patch) * math.ceil(w / self.patch)
+        bucket = bucket_for_tokens(n, self.buckets)
+        if n > bucket:
+            th, tw = fit_to_token_budget(h, w, self.patch, bucket)
+            arr = _resize_chw_bicubic(arr, th, tw)
+        return bucket, patchify_array(arr, self.patch, bucket)
+
+    def batch_stream(
+        self, images: Iterable, batch_size: int = 8, flush: bool = True
+    ):
+        """Group an image stream into per-bucket collated batches.
+
+        Yields ``(bucket, batch_dict)``; each batch has a single static
+        (batch_size-or-smaller, bucket) shape, so at most
+        ``len(buckets)`` XLA programs per batch size are compiled.
+        """
+        pending: Dict[int, List[dict]] = {}
+        for img in images:
+            bucket, d = self.prepare(img)
+            pending.setdefault(bucket, []).append(d)
+            if len(pending[bucket]) == batch_size:
+                yield bucket, patch_collate_fn(pending.pop(bucket))
+        if flush:
+            for bucket, ds in sorted(pending.items()):
+                yield bucket, patch_collate_fn(ds)
+
+
+class ServingPipeline:
+    """Bucketed encode->decode serving over a fixed set of compiled shapes."""
+
+    def __init__(
+        self,
+        model,
+        patch: int = 16,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        batch_size: int = 8,
+        pad_partial: bool = True,
+    ):
+        self.model = model
+        self.bucketer = TokenBucketer(patch=patch, buckets=buckets)
+        self.batch_size = batch_size
+        self.pad_partial = pad_partial
+
+    def _pad_batch(self, d: dict) -> Tuple[dict, int]:
+        """Pad a ragged final batch up to batch_size (masked rows)."""
+        b = d["patches"].shape[0]
+        if not self.pad_partial or b == self.batch_size:
+            return d, b
+        pad = self.batch_size - b
+        out = {}
+        for k, v in d.items():
+            v = np.asarray(v)
+            out[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+            )
+        return out, b
+
+    def run(self, images: Iterable) -> List[np.ndarray]:
+        """Encode+decode a stream; returns per-image reconstructions
+        ([C, H, W], original sizes), input order preserved per bucket group."""
+        from vitok_tpu.pp.io import postprocess
+
+        results: List[np.ndarray] = []
+        for bucket, batch in self.bucketer.batch_stream(
+            images, self.batch_size
+        ):
+            padded, n_real = self._pad_batch(batch)
+            jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
+            out = self.model(jbatch)
+            crops = postprocess(
+                dict(out), output_format="minus_one_to_one", do_unpack=True,
+                patch=self.bucketer.patch,
+            )
+            results.extend(np.asarray(c) for c in crops[:n_real])
+        return results
+
+
+__all__ = [
+    "TokenBucketer",
+    "ServingPipeline",
+    "bucket_for_tokens",
+    "DEFAULT_BUCKETS",
+]
