@@ -47,14 +47,23 @@ def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
     from vitok_tpu.models.ae import forward_apply
 
     cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
-    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     if quant:
         # Same methodology as the reference baseline, whose A100 numbers run
         # torchao FP8-quantized (eval_vae.py:85); int8 is the v5e analog.
-        from vitok_tpu.ops.quant import quantize_block_params
+        # Throughput-only: build int8 weights natively (the real checkpoint
+        # path goes through quantize_block_params).
+        from vitok_tpu.ops.quant import init_params_quantized
 
-        params = quantize_block_params(params, offload=True)
+        params = init_params_quantized(cfg, jax.random.key(0))
+    else:
+        params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    # Weight count for the MFU estimate (exclude int8 bookkeeping scales).
+    n_params = sum(
+        leaf.size
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if getattr(path[-1], "key", "") != "scale"
+        or "norm" in str(path)
+    )
 
     import functools
 

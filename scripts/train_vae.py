@@ -187,6 +187,9 @@ def main():
             print("wandb not installed; console logging only")
 
     # --- loop ------------------------------------------------------------
+    from vitok_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
     rng = jax.random.key(args.seed + 1)
     step = int(state.step)
     loader_iter = iter(loader)
@@ -236,6 +239,13 @@ def main():
             save_checkpoint(state, ckpt_dir)
             if is_main:
                 print(f"saved checkpoint at step {step}")
+
+        if guard.should_stop:
+            # Preemption (SIGTERM) or Ctrl-C: save and exit cleanly.
+            save_checkpoint(state, ckpt_dir)
+            if is_main:
+                print(f"preempted: checkpoint saved at step {step}")
+            return
 
     save_checkpoint(state, ckpt_dir)
     export_dir = os.path.join(os.path.abspath(args.output_dir), "safetensors")

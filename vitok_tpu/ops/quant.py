@@ -109,6 +109,72 @@ def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Par
     return result
 
 
+def init_params_quantized(cfg, rng, scale_mag: float = 0.01) -> Params:
+    """Random int8-quantized AE params, built int8-native (no bf16 staging).
+
+    For throughput benchmarking of the quantized path: avoids materializing
+    the full-precision model first (the real checkpoint path goes through
+    ``quantize_block_params``).
+    """
+    from vitok_tpu.models.ae import _linear_init
+
+    def q_linear(key, fan_in, fan_out, depth=None):
+        k1, k2 = jax.random.split(key)
+        shape = (fan_in, fan_out) if depth is None else (depth, fan_in, fan_out)
+        sshape = (fan_out,) if depth is None else (depth, fan_out)
+        return {
+            "kernel_int8": jax.random.randint(k1, shape, -127, 128, jnp.int8),
+            "scale": jnp.abs(jax.random.normal(k2, sshape, jnp.float32))
+            * scale_mag
+            + 1e-6,
+        }
+
+    def q_stack(key, depth, width, ffn, head_dim):
+        ks = jax.random.split(key, 4)
+        return {
+            "norm1": {"scale": jnp.ones((depth, width), jnp.float32)},
+            "attn": {
+                "qkv": q_linear(ks[0], width, 3 * width, depth),
+                "out": q_linear(ks[1], width, width, depth),
+                "norm_q": {"scale": jnp.ones((depth, head_dim), jnp.float32)},
+                "norm_k": {"scale": jnp.ones((depth, head_dim), jnp.float32)},
+            },
+            "ffn": {
+                "fc1": q_linear(ks[2], width, 2 * ffn, depth),
+                "fc2": q_linear(ks[3], ffn, width, depth),
+            },
+            "layer_scale": {
+                "gamma": jnp.full((depth, width), cfg.layer_scale_init, jnp.float32)
+            },
+        }
+
+    ks = jax.random.split(rng, 6)
+    params: Params = {}
+    if cfg.encoder:
+        params["patch_embed"] = _linear_init(
+            ks[0], cfg.pixels_per_token, cfg.encoder_width, jnp.bfloat16
+        )
+        params["encoder_blocks"] = q_stack(
+            ks[1], cfg.encoder_depth, cfg.encoder_width,
+            cfg.encoder_ffn_dim, cfg.encoder_head_dim,
+        )
+        params["to_code"] = _linear_init(
+            ks[2], cfg.encoder_width, cfg.channels_per_token, jnp.bfloat16
+        )
+    if cfg.decoder:
+        params["decoder_embed"] = _linear_init(
+            ks[3], cfg.channels_per_token, cfg.decoder_width, jnp.bfloat16
+        )
+        params["decoder_blocks"] = q_stack(
+            ks[4], cfg.decoder_depth, cfg.decoder_width,
+            cfg.decoder_ffn_dim, cfg.decoder_head_dim,
+        )
+        params["to_pixels"] = _linear_init(
+            ks[5], cfg.decoder_width, cfg.pixels_per_token, jnp.bfloat16
+        )
+    return params
+
+
 def is_quantized(params: Params) -> bool:
     return any(
         "kernel_int8" in str(p)
