@@ -7,22 +7,28 @@ mask (it relies on zero-padded patches being "mostly harmless"), while this
 kernel masks key-side padding *exactly* and supports the sliding window at
 the same time.
 
-Design (classic online-softmax flash attention, TPU-shaped):
+Design (online-softmax flash attention, shaped for TPU's grid/DMA model):
 
-* grid ``(B, H, NQ, NK)`` with the KV axis innermost; Pallas pipelines the
-  HBM->VMEM block DMAs across grid steps (double buffering for free),
-* fp32 running max / sum / accumulator in VMEM scratch, bf16 GEMMs on the MXU
-  with fp32 ``preferred_element_type``,
-* **block-level skipping**: per-sample valid-token counts ride in scalar
-  prefetch; KV blocks that are entirely tail padding or entirely outside the
-  sliding window skip their compute (`@pl.when`),
-* fully-masked query rows produce 0 (guarded divide), never NaN.
+* grid ``(B, NQ, NK)`` — **all heads are processed inside one grid cell**
+  (a ``fori_loop`` over H against one KV block held in VMEM). Per-cell DMA
+  issue latency is the dominant cost at high resolution; folding H cuts the
+  cell count by the head count and fetches each KV block once per query
+  block instead of once per (head, query block),
+* under sliding-window attention the KV grid axis spans only the window:
+  the BlockSpec index maps compute the global KV block as ``base(iq) + ik``,
+  so out-of-window blocks are never fetched at all,
+* fp32 running max / sum / accumulator in VMEM scratch; bf16 GEMMs on the
+  MXU with fp32 accumulation,
+* interior blocks (fully valid, fully in-window) skip the mask lattice
+  entirely; only boundary blocks pay for iota/select,
+* per-sample valid-token counts ride in scalar prefetch to skip
+  tail-padding KV blocks; fully-masked query rows produce 0, never NaN.
 
 The public entry ``flash_attention`` pads N to a block multiple, handles
 layout, and defines a custom VJP whose backward recomputes attention with the
 XLA path — training always runs at small token budgets (N≈256) where the
-O(N²) recompute is trivial, while huge-N inference (the 8192p regime,
-N≈262k) uses only the forward kernel.
+O(N²) recompute is trivial, while huge-N inference (the 4096p/8192p regime)
+uses only the forward kernel.
 """
 
 from __future__ import annotations
@@ -39,28 +45,40 @@ Array = jax.Array
 
 _NEG_INF = -1e30
 _DEFAULT_BLOCK_Q = 256
-_DEFAULT_BLOCK_K = 256
+_DEFAULT_BLOCK_K = 512
+
+
+def _window_base(iq, block_q, block_k, sw, total_kv_blocks, nk_local):
+    """First KV block of the window for query block ``iq`` (clamped).
+
+    Shared by the kernel and the BlockSpec index maps so both compute the
+    same global block index.
+    """
+    lo = (iq * block_q - sw) // block_k  # floor toward -inf
+    return jnp.clip(lo, 0, total_kv_blocks - nk_local)
 
 
 def _attn_kernel(
     # scalar prefetch
-    valid_ref,  # [B] int32 — number of valid (unmasked) tokens per sample
+    valid_ref,  # [B] int32 — number of valid (leading) tokens per sample
     # inputs
-    q_ref,  # [1, 1, BQ, D]
-    k_ref,  # [1, 1, BK, D]
-    v_ref,  # [1, 1, BK, D]
+    q_ref,  # [1, H, BQ, D]
+    k_ref,  # [1, H, BK, D]
+    v_ref,  # [1, H, BK, D]
     mask_ref,  # [1, 1, BK] int32 (1 = valid), key side
     qmask_ref,  # [1, 1, BQ] int32 (1 = valid), query side
     # outputs
-    o_ref,  # [1, 1, BQ, D]
+    o_ref,  # [1, H, BQ, D]
     # scratch
-    m_ref,  # [BQ, 128] f32
-    l_ref,  # [BQ, 128] f32
-    acc_ref,  # [BQ, D] f32
+    m_ref,  # [H, BQ, 128] f32
+    l_ref,  # [H, BQ, 128] f32
+    acc_ref,  # [H, BQ, D] f32
     *,
+    num_heads: int,
     block_q: int,
     block_k: int,
-    num_kv_blocks: int,
+    num_kv_blocks: int,       # size of the kv grid axis (window blocks if SWA)
+    total_kv_blocks: int,     # full number of kv blocks in the array
     sliding_window: Optional[int],
     use_mask: bool,
 ):
@@ -74,79 +92,119 @@ def _attn_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # ---- block-level skip decision (cheap scalar math) ----
+    # ---- block-level geometry (cheap scalar math) ----
     valid = valid_ref[b]
-    kv_start = ik * block_k
     q_start = iq * block_q
+    if sliding_window is not None:
+        base = _window_base(
+            iq, block_q, block_k, sliding_window, total_kv_blocks, num_kv_blocks
+        )
+        kv_start = (base + ik) * block_k
+    else:
+        kv_start = ik * block_k
+
     live = kv_start < valid  # skip pure tail-padding blocks
     if sliding_window is not None:
-        # query block covers [q_start, q_start + BQ); kv block intersects the
-        # window [q_start - sw, q_start + BQ - 1 + sw] ?
-        live = jnp.logical_and(live, kv_start <= q_start + block_q - 1 + sliding_window)
-        live = jnp.logical_and(live, kv_start + block_k - 1 >= q_start - sliding_window)
+        live = jnp.logical_and(
+            live, kv_start <= q_start + block_q - 1 + sliding_window
+        )
+        live = jnp.logical_and(
+            live, kv_start + block_k - 1 >= q_start - sliding_window
+        )
 
-    @pl.when(live)
-    def _compute():
-        q = q_ref[0, 0]  # [BQ, D]
-        k = k_ref[0, 0]  # [BK, D]
-        v = v_ref[0, 0]
-        d = q.shape[-1]
-        scale = 1.0 / (d ** 0.5)
+    # "easy" = no element-level masking needed anywhere in the block.
+    easy = kv_start + block_k <= valid
+    if sliding_window is not None:
+        easy = jnp.logical_and(
+            easy, kv_start >= q_start + block_q - 1 - sliding_window
+        )
+        easy = jnp.logical_and(
+            easy, kv_start + block_k - 1 <= q_start + sliding_window
+        )
 
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, BK]
+    def _window_lattice():
+        q_pos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = kv_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        return jnp.abs(q_pos - k_pos) <= sliding_window
 
-        # ---- within-block masking ----
+    def _accumulate(masked: bool):
         neg = jnp.float32(_NEG_INF)
-        if use_mask:
-            kv_valid = mask_ref[0, 0, :] > 0  # [BK]
-            s = jnp.where(kv_valid[None, :], s, neg)
-        if sliding_window is not None:
-            q_pos = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
+        window = _window_lattice() if (masked and sliding_window is not None) else None
+        kv_valid = (mask_ref[0, 0, :] > 0) if (masked and use_mask) else None
+
+        def head_body(h, _):
+            q = q_ref[0, h]  # [BQ, D]
+            k = k_ref[0, h]  # [BK, D]
+            v = v_ref[0, h]
+            d = q.shape[-1]
+            qs = (q.astype(jnp.float32) * (1.0 / (d ** 0.5))).astype(q.dtype)
+
+            s = jax.lax.dot_general(
+                qs, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            if kv_valid is not None:
+                s = jnp.where(kv_valid[None, :], s, neg)
+            if window is not None:
+                s = jnp.where(window, s, neg)
+
+            m_prev = m_ref[h, :, :1]  # [BQ, 1]
+            l_prev = l_ref[h, :, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            if masked:
+                row_dead = m_new <= jnp.float32(_NEG_INF / 2)
+                p = jnp.where(
+                    row_dead | (s <= jnp.float32(_NEG_INF / 2)), 0.0, p
+                )
+                alpha = jnp.where(row_dead, 0.0, alpha)
+
+            l_ref[h, :, :1] = l_prev * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
             )
-            k_pos = kv_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            in_window = jnp.abs(q_pos - k_pos) <= sliding_window
-            s = jnp.where(in_window, s, neg)
+            m_ref[h, :, :1] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, D]
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            return 0
 
-        m_prev = m_ref[:, :1]  # [BQ, 1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        # exp of fully-masked rows: m_new stays NEG_INF -> s - m_new = 0
-        # would give p = 1; guard by flushing to 0 when row is dead.
-        row_dead = m_new <= jnp.float32(_NEG_INF / 2)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(row_dead | (s <= jnp.float32(_NEG_INF / 2)), 0.0, p)
+        jax.lax.fori_loop(0, num_heads, head_body, 0)
 
-        alpha = jnp.exp(m_prev - m_new)
-        alpha = jnp.where(row_dead, 0.0, alpha)
+    @pl.when(jnp.logical_and(live, easy))
+    def _fast():
+        _accumulate(masked=False)
 
-        l_ref[:, :1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:, :1] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, D]
-        acc_ref[...] = acc_ref[...] * alpha + pv
+    @pl.when(jnp.logical_and(live, jnp.logical_not(easy)))
+    def _edge():
+        _accumulate(masked=True)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
-        l = l_ref[:, :1]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        out = acc_ref[...] / safe_l
         if use_mask:
-            # f32 multiplicative mask: Mosaic can't add a minor dim to i1
-            # vectors, so cast before the reshape.
             q_valid = (qmask_ref[0, 0, :] > 0).astype(jnp.float32)  # [BQ]
-            out = out * q_valid[:, None]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+        def head_out(h, _):
+            l = l_ref[h, :, :1]
+            safe_l = jnp.where(l == 0.0, 1.0, l)
+            out = acc_ref[h] / safe_l
+            if use_mask:
+                # f32 multiplicative mask: Mosaic can't add a minor dim to
+                # i1 vectors, so cast before the reshape.
+                out = out * q_valid[:, None]
+            o_ref[0, h] = out.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, num_heads, head_out, 0)
 
 
 def _flash_fwd(
@@ -182,9 +240,6 @@ def _flash_fwd(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    # NaFlex padding is a tail suffix, so the number of leading valid tokens
-    # bounds the live KV range. (With an arbitrary mask this is still exact —
-    # it's just less of a skip.)
     # Token padding must be masked even when the caller passed no mask.
     has_mask = patch_mask is not None or n_pad > 0
     if patch_mask is not None:
@@ -198,40 +253,74 @@ def _flash_fwd(
         valid = jnp.full((b,), n, jnp.int32)
 
     num_q_blocks = np_ // block_q
-    num_kv_blocks = np_ // block_k
+    total_kv_blocks = np_ // block_k
+    if sliding_window is not None:
+        # KV grid axis spans only the window: no DMA or grid steps are spent
+        # on out-of-window blocks (the dominant cost at high resolution).
+        nk_local = min(
+            total_kv_blocks,
+            (block_q + 2 * sliding_window) // block_k + 2,
+        )
+    else:
+        nk_local = total_kv_blocks
+
+    # Heads are processed in VMEM-sized chunks per grid cell.
+    head_chunk = h
+    while head_chunk > 8 or h % head_chunk:
+        head_chunk -= 1
 
     kernel = functools.partial(
         _attn_kernel,
+        num_heads=head_chunk,
         block_q=block_q,
         block_k=block_k,
-        num_kv_blocks=num_kv_blocks,
+        num_kv_blocks=nk_local,
+        total_kv_blocks=total_kv_blocks,
         sliding_window=sliding_window,
         use_mask=has_mask,
     )
 
+    if sliding_window is not None:
+        sw_ = sliding_window
+
+        def kv_map(b_, hg, iq, ik, valid):
+            base = _window_base(
+                iq, block_q, block_k, sw_, total_kv_blocks, nk_local
+            )
+            return (b_, hg, base + ik, 0)
+
+        def kv_mask_map(b_, hg, iq, ik, valid):
+            base = _window_base(
+                iq, block_q, block_k, sw_, total_kv_blocks, nk_local
+            )
+            return (b_, 0, base + ik)
+    else:
+        kv_map = lambda b_, hg, iq, ik, valid: (b_, hg, ik, 0)
+        kv_mask_map = lambda b_, hg, iq, ik, valid: (b_, 0, ik)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, num_q_blocks, num_kv_blocks),
+        grid=(b, h // head_chunk, num_q_blocks, nk_local),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda b_, h_, iq, ik, valid: (b_, h_, iq, 0)
+                (1, head_chunk, block_q, d),
+                lambda b_, hg, iq, ik, valid: (b_, hg, iq, 0),
             ),
+            pl.BlockSpec((1, head_chunk, block_k, d), kv_map),
+            pl.BlockSpec((1, head_chunk, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, block_k), kv_mask_map),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, iq, ik, valid: (b_, h_, ik, 0)
+                (1, 1, block_q), lambda b_, hg, iq, ik, valid: (b_, 0, iq)
             ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, iq, ik, valid: (b_, h_, ik, 0)
-            ),
-            pl.BlockSpec((1, 1, block_k), lambda b_, h_, iq, ik, valid: (b_, 0, ik)),
-            pl.BlockSpec((1, 1, block_q), lambda b_, h_, iq, ik, valid: (b_, 0, iq)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, iq, ik, valid: (b_, h_, iq, 0)
+            (1, head_chunk, block_q, d),
+            lambda b_, hg, iq, ik, valid: (b_, hg, iq, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((head_chunk, block_q, 128), jnp.float32),
+            pltpu.VMEM((head_chunk, block_q, 128), jnp.float32),
+            pltpu.VMEM((head_chunk, block_q, d), jnp.float32),
         ],
     )
 
@@ -240,7 +329,9 @@ def _flash_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, np_, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary",
+            ),
         ),
         interpret=interpret,
     )(valid, qt, kt, vt, mask[:, None, :], mask[:, None, :])
