@@ -235,6 +235,46 @@ def main():
             t_log = time.perf_counter()
             data_ms = 0.0
 
+        if args.eval_freq and step % args.eval_freq == 0:
+            # Quick reconstruction eval on a few batches (reference
+            # train_vae.py:434-487): SSIM/PSNR on masked reconstructions.
+            from vitok_tpu.losses import psnr as psnr_fn, ssim as ssim_fn
+            from vitok_tpu.models.ae import forward_apply as fwd_apply
+            from vitok_tpu.train_lib import unpatchify_dense_static
+
+            eval_fn = jax.jit(
+                lambda p, d: fwd_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+            )
+            ssim_vals, psnr_vals = [], []
+            eval_iter = iter(loader)
+            for _ in range(4):
+                try:
+                    eb = next(eval_iter)
+                except StopIteration:
+                    break
+                jb = shard_batch(
+                    {k: v for k, v in eb.items() if isinstance(v, np.ndarray)},
+                    mesh,
+                )
+                out = eval_fn(state.params, jb)
+                rec = unpatchify_dense_static(
+                    dict(out), grid_side, grid_side, args.patch
+                )
+                ref_img = unpatchify_dense_static(
+                    dict(jb), grid_side, grid_side, args.patch
+                )
+                ssim_vals.append(float(ssim_fn(ref_img, rec)))
+                psnr_vals.append(float(psnr_fn(ref_img, rec)))
+            if is_main and ssim_vals:
+                ev = {
+                    "eval/ssim": sum(ssim_vals) / len(ssim_vals),
+                    "eval/psnr": sum(psnr_vals) / len(psnr_vals),
+                }
+                print(f"step {step} eval: " + json.dumps(
+                    {k: round(v, 4) for k, v in ev.items()}))
+                if wandb_run:
+                    wandb_run.log(ev, step=step)
+
         if args.save_freq and step % args.save_freq == 0:
             save_checkpoint(state, ckpt_dir)
             if is_main:

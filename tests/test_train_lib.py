@@ -1,0 +1,156 @@
+"""Training-core tests: schedules, optimizer groups, EMA, checkpoints,
+preemption guard."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.train_lib import (
+    LossConfig,
+    TrainState,
+    compute_loss,
+    create_optimizer,
+    create_schedule,
+    create_train_state,
+    update_ema,
+)
+from vitok_tpu.models import AEConfig, init_params
+from tests.test_ae import TINY, make_batch
+
+
+class TestSchedules:
+    def test_warmup_starts_at_zero(self):
+        s = create_schedule("cosine", 1e-3, 1000, warmup_frac=0.1)
+        assert float(s(0)) == 0.0
+        assert abs(float(s(100)) - 1e-3) < 1e-9  # end of warmup
+        assert float(s(50)) == pytest.approx(5e-4, rel=1e-6)
+
+    def test_cosine_decays_to_alpha(self):
+        s = create_schedule("cosine", 1e-3, 1000, warmup_frac=0.0,
+                            end_lr_frac=0.1)
+        assert abs(float(s(1000)) - 1e-4) < 1e-9
+
+    def test_linear(self):
+        s = create_schedule("linear", 1e-3, 100, warmup_frac=0.0)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(100)) == pytest.approx(0.0, abs=1e-9)
+
+    def test_exponential(self):
+        s = create_schedule("exponential", 1e-3, 100, warmup_frac=0.0,
+                            decay_rate=0.1)
+        assert float(s(100)) == pytest.approx(1e-4, rel=1e-3)
+
+    def test_constant(self):
+        s = create_schedule("constant", 5e-4, 100)
+        assert float(s(99)) == pytest.approx(5e-4)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            create_schedule("nope", 1e-3, 100)
+
+
+class TestOptimizer:
+    def test_weight_decay_mask(self):
+        """1-D params (norms/gammas/biases) must get no weight decay."""
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(
+            create_schedule("constant", 0.0, 10), weight_decay=0.5,
+            grad_clip=0.0,
+        )
+        state = tx.init(params)
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        updates, _ = tx.update(zero_grads, state, params)
+        # lr = 0 -> all updates must be exactly zero regardless of decay
+        # (decay is scaled by lr in adamw); now with lr > 0:
+        tx2 = create_optimizer(
+            create_schedule("constant", 1.0, 10), weight_decay=0.5,
+            grad_clip=0.0,
+        )
+        state2 = tx2.init(params)
+        updates2, _ = tx2.update(zero_grads, state2, params)
+        norm_update = updates2["encoder_blocks"]["norm1"]["scale"]
+        kernel_update = updates2["encoder_blocks"]["attn"]["qkv"]["kernel"]
+        assert float(jnp.abs(norm_update).max()) == 0.0  # no decay on 1-D
+        assert float(jnp.abs(kernel_update).max()) > 0.0  # decay on 2-D+
+
+
+class TestEMA:
+    def test_lerp(self):
+        ema = {"w": jnp.zeros((4,))}
+        params = {"w": jnp.ones((4,))}
+        out = update_ema(ema, params, decay=0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-7)
+
+    def test_ema_is_fp32_copy(self):
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(create_schedule("constant", 1e-3, 10))
+        state = create_train_state(params, tx)
+        leaf = state.ema_params["patch_embed"]["kernel"]
+        assert leaf.dtype == jnp.float32
+        # must not alias params (donation safety)
+        assert leaf.unsafe_buffer_pointer() != params[
+            "patch_embed"]["kernel"].unsafe_buffer_pointer()
+
+
+class TestLoss:
+    def test_compute_loss_components(self):
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=2, n=16, grid=(4, 4))
+        loss, metrics = compute_loss(
+            params, batch, cfg,
+            LossConfig(ssim_grid=(4, 4)), jax.random.key(0),
+            compute_dtype=jnp.float32,
+        )
+        assert np.isfinite(float(loss))
+        assert "loss/charbonnier" in metrics and "loss/ssim" in metrics
+        assert float(metrics["loss/total"]) == pytest.approx(
+            float(metrics["loss/charbonnier"])
+            + 0.1 * float(metrics["loss/ssim"]),
+            rel=1e-5,
+        )
+
+
+class TestCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        from vitok_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(create_schedule("constant", 1e-3, 10))
+        state = create_train_state(params, tx)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(state, path)
+        restored = load_checkpoint(path, target=state)
+        np.testing.assert_allclose(
+            np.asarray(restored.params["patch_embed"]["kernel"]),
+            np.asarray(state.params["patch_embed"]["kernel"]),
+        )
+        assert int(restored.step) == int(state.step)
+
+    def test_safetensors_export(self, tmp_path):
+        from vitok_tpu.utils.checkpoint import export_safetensors
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        written = export_safetensors(params, str(tmp_path))
+        names = sorted(os.path.basename(w) for w in written)
+        assert names == ["decoder.safetensors", "encoder.safetensors"]
+
+
+class TestPreemption:
+    def test_guard_latches_signal(self):
+        from vitok_tpu.utils.preemption import PreemptionGuard
+
+        guard = PreemptionGuard(signals=(signal.SIGUSR1,))
+        assert not guard.should_stop
+        os.kill(os.getpid(), signal.SIGUSR1)
+        assert guard.should_stop
+        guard.restore()

@@ -80,8 +80,16 @@ def create_schedule(
 
 
 def _decay_mask(params: Params) -> Params:
-    """True for params that get weight decay: everything with ndim >= 2."""
-    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+    """True for params that get weight decay: matrix weights only.
+
+    Scan-stacked layout means norm scales / gammas / biases are 2-D (depth
+    leading), so the usual ndim test misclassifies them — mask by leaf name
+    instead (same decay/no-decay split as reference train_vae.py:184-196).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: getattr(path[-1], "key", "") in ("kernel", "ctx_embed"),
+        params,
+    )
 
 
 def create_optimizer(
