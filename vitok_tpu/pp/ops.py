@@ -481,14 +481,18 @@ def sample_tiles(
     start_y = jnp.clip(start_y, 0, ph - th)
     start_x = jnp.clip(start_x, 0, pw - tw)
 
-    off_y = jnp.arange(th)
-    off_x = jnp.arange(tw)
-    y_idx = start_y[:, :, None, None] + off_y[None, None, :, None]
-    x_idx = start_x[:, :, None, None] + off_x[None, None, None, :]
-    batch_idx = jnp.arange(b)[:, None, None, None]
-    imgs_nhwc = images.transpose(0, 2, 3, 1)
-    tiles = imgs_nhwc[batch_idx, y_idx, x_idx]  # [B, T, th, tw, C]
-    tiles = tiles.transpose(0, 1, 4, 2, 3)
+    # Contiguous crops via batched dynamic_slice — orders of magnitude
+    # cheaper on TPU than an elementwise advanced-indexing gather.
+    def crop_one(img, sy, sx):
+        return jax.lax.dynamic_slice(img, (0, sy, sx), (c, th, tw))
+
+    crop_tiles = jax.vmap(  # over tiles
+        lambda img, sys_, sxs_: jax.vmap(
+            lambda sy, sx: crop_one(img, sy, sx)
+        )(sys_, sxs_),
+        in_axes=(0, 0, 0),
+    )
+    tiles = crop_tiles(images, start_y, start_x)  # [B, T, C, th, tw]
     return tiles, (start_y, start_x)
 
 
