@@ -334,8 +334,25 @@ def _block_body(
 
     h = rms_norm(x, blk["norm1"]["scale"])
 
+    # qkv and fc1 read the same normed input: under int8, quantize h once
+    # and share the int8 activations across both column-parallel matmuls.
+    qkv_p, fc1_p = blk["attn"]["qkv"], blk["ffn"]["fc1"]
+    shared_int8 = "kernel_int8" in qkv_p and "kernel_int8" in fc1_p
+    if shared_int8:
+        from vitok_tpu.ops.quant import (
+            int8_matmul_prequant,
+            quantize_activation,
+        )
+
+        hq, h_scale = quantize_activation(h)
+        qkv_out = int8_matmul_prequant(hq, h_scale, qkv_p, h.dtype)
+        hid = int8_matmul_prequant(hq, h_scale, fc1_p, h.dtype)
+    else:
+        qkv_out = _linear(h, qkv_p)
+        hid = _linear(h, fc1_p)
+
     # --- attention branch ---
-    qkv = _linear(h, blk["attn"]["qkv"]).reshape(b, n, 3, num_heads, head_dim)
+    qkv = qkv_out.reshape(b, n, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
     k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
@@ -349,7 +366,6 @@ def _block_body(
     attn = _linear(attn, blk["attn"]["out"])
 
     # --- mlp branch (parallel: reads the same normed input) ---
-    hid = _linear(h, blk["ffn"]["fc1"])
     mv, mg = jnp.split(hid, 2, axis=-1)
     mlp = _linear(jax.nn.silu(mg) * mv, blk["ffn"]["fc2"])
 

@@ -54,24 +54,37 @@ def quantize_weight(kernel: Array, offload: bool = False) -> Dict[str, Array]:
     return {"kernel_int8": q, "scale": scale.squeeze(-2).astype(jnp.float32)}
 
 
+def quantize_activation(x: Array):
+    """Per-token dynamic symmetric int8: ``x -> (x_int8, scale)``."""
+    x32 = x.astype(jnp.float32)
+    a_absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(a_absmax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    return xq, a_scale
+
+
+def int8_matmul_prequant(
+    xq: Array, a_scale: Array, qp: Dict[str, Array], out_dtype
+) -> Array:
+    """int8 × int8 matmul with pre-quantized activations (int32 MXU acc)."""
+    acc = jax.lax.dot_general(
+        xq,
+        qp["kernel_int8"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * a_scale * qp["scale"]
+    return out.astype(out_dtype)
+
+
 def int8_linear(x: Array, qp: Dict[str, Array]) -> Array:
     """Dynamic per-token int8 activation × int8 weight matmul.
 
     x: ``[..., in]`` (bf16/fp32); qp: {"kernel_int8": [in, out], "scale": [out]}.
     Returns ``[..., out]`` in x.dtype.
     """
-    x32 = x.astype(jnp.float32)
-    a_absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    a_scale = jnp.maximum(a_absmax / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq,
-        qp["kernel_int8"],
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * a_scale * qp["scale"]
-    return out.astype(x.dtype)
+    xq, a_scale = quantize_activation(x)
+    return int8_matmul_prequant(xq, a_scale, qp, x.dtype)
 
 
 def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Params:
