@@ -21,6 +21,7 @@ _LAZY = {
     "create_dataloader": "vitok_tpu.data.loaders",
     "patch_collate_fn": "vitok_tpu.pp.io",
     "load_pretrained": "vitok_tpu.pretrained",
+    "load_pretrained_params": "vitok_tpu.pretrained",
     "list_pretrained": "vitok_tpu.pretrained",
     "get_pretrained_info": "vitok_tpu.pretrained",
     "download_pretrained": "vitok_tpu.pretrained",
