@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--b1", type=float, default=0.9)
     ap.add_argument("--b2", type=float, default=0.99)
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--optimizer", default="adamw", choices=["adamw", "muon"])
+    ap.add_argument("--momentum", type=float, default=0.95,
+                    help="muon momentum (reference default)")
     ap.add_argument("--ema-decay", type=float, default=0.999)
     ap.add_argument("--no-ema", action="store_true")
     # losses (reference defaults train_vae.py:68-75)
@@ -138,7 +141,8 @@ def main():
     )
     tx = create_optimizer(
         schedule, weight_decay=args.wd, b1=args.b1, b2=args.b2,
-        grad_clip=args.grad_clip,
+        grad_clip=args.grad_clip, optimizer=args.optimizer,
+        momentum=args.momentum,
     )
     state = create_train_state(params, tx, ema=not args.no_ema)
     state = place_on_mesh(state, mesh)

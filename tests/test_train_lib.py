@@ -154,3 +154,61 @@ class TestPreemption:
         os.kill(os.getpid(), signal.SIGUSR1)
         assert guard.should_stop
         guard.restore()
+
+
+class TestMuon:
+    def test_newton_schulz_orthogonalizes(self):
+        from vitok_tpu.muon import newton_schulz_orthogonalize
+
+        g = jax.random.normal(jax.random.key(0), (64, 32))
+        # Make the input badly conditioned.
+        u, s, vt = np.linalg.svd(np.asarray(g), full_matrices=False)
+        g_bad = jnp.asarray(u @ np.diag(s * np.geomspace(1, 1e-3, 32)) @ vt)
+        o = np.asarray(newton_schulz_orthogonalize(g_bad), np.float32)
+        sv = np.linalg.svd(o, compute_uv=False)
+        # Muon's quintic NS flattens the spectrum into a band around 1
+        # (it does not converge to exact orthogonality by design).
+        assert sv.max() < 1.8 and sv.min() > 0.1, (sv.min(), sv.max())
+        orig_sv = np.linalg.svd(np.asarray(g_bad), compute_uv=False)
+        assert (sv.max() / sv.min()) < 0.02 * (orig_sv.max() / orig_sv.min())
+
+    def test_muon_step_decreases_loss(self):
+        from vitok_tpu.muon import muon
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(
+            create_schedule("constant", 1e-3, 10, warmup_frac=0.0),
+            optimizer="muon",
+        )
+        state = tx.init(params)
+        batch = make_batch(b=2, n=16, grid=(4, 4))
+
+        def loss_fn(p):
+            l, _ = compute_loss(
+                p, batch, cfg, LossConfig(), jax.random.key(0),
+                compute_dtype=jnp.float32,
+            )
+            return l
+
+        losses = []
+        for _ in range(5):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, state = tx.update(grads, state, params)
+            import optax as _optax
+
+            params = _optax.apply_updates(params, updates)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+    def test_muon_applies_adam_to_scales(self):
+        from vitok_tpu.muon import muon
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = muon(1e-3)
+        state = tx.init(params)
+        # momentum buffers exist only for matrix kernels
+        mom = state.momentum
+        assert mom["encoder_blocks"]["norm1"].get("scale") is None
+        assert mom["encoder_blocks"]["attn"]["qkv"]["kernel"] is not None

@@ -98,19 +98,33 @@ def create_optimizer(
     b1: float = 0.9,
     b2: float = 0.99,
     grad_clip: float = 1.0,
+    optimizer: str = "adamw",
+    momentum: float = 0.95,
 ) -> optax.GradientTransformation:
-    """AdamW with decay/no-decay groups + global-norm clipping."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip) if grad_clip else optax.identity(),
-        optax.adamw(
+    """AdamW (decay/no-decay groups) or Muon, with global-norm clipping.
+
+    Mirrors the reference's ``--optimizer {adamw,muon}`` choice
+    (train_vae.py:62, 196-208); Muon is the TPU-native implementation in
+    ``vitok_tpu.muon``.
+    """
+    if optimizer == "muon":
+        from vitok_tpu.muon import muon
+
+        inner = muon(schedule, momentum=momentum, adam_b1=b1, adam_b2=b2)
+    elif optimizer == "adamw":
+        inner = optax.adamw(
             learning_rate=schedule,
             b1=b1,
             b2=b2,
             weight_decay=weight_decay,
             mask=_decay_mask,
-        ),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer: {optimizer}")
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip) if grad_clip else optax.identity(),
+        inner,
     )
-    return tx
 
 
 # ---------------------------------------------------------------------------
