@@ -171,6 +171,12 @@ def main():
         "mfu": round(best["mfu"], 3),
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
+        # The anchor (3.59 ms/img, A100-80GB b500) implies ~713 TFLOP/s for
+        # 2*5B*256 FLOPs/img — above A100's int8 peak (624 TOPS), i.e. the
+        # published table cannot be a full encode+decode per-image time.
+        # Our number is a complete fenced encode+decode on one v5e chip
+        # (197 bf16 / 394 int8 TFLOPs peak).
+        "baseline_note": "anchor exceeds A100 peak FLOPs; see comment",
     }
     print(json.dumps(result))
 
