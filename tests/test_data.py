@@ -148,3 +148,39 @@ class TestHelpers:
         assert len(urls) == 2
         assert all(u.startswith("pipe:curl") for u in urls)
         assert any("data-0000.tar" in u for u in urls)
+
+
+class TestFusedNativePath:
+    def test_fused_tail_matches_python_path(self, tmp_path):
+        """Canonical pp tail routes through the fused native batcher and
+        must produce the same batches as the pure-python path."""
+        import vitok_tpu.data.loaders as L
+
+        p = make_tar(str(tmp_path / "a.tar"), n_images=4, size=(48, 48))
+        pp_fused = "to_tensor|normalize(minus_one_to_one)|patchify(16, 16)"
+        assert L._split_fused_tail(pp_fused) is not None
+        # budget-resize before patchify must NOT take the fused path
+        assert L._split_fused_tail(
+            "to_tensor|normalize(minus_one_to_one)|"
+            "resize_to_token_budget(16, 16)|patchify(16, 16)"
+        ) is None
+
+        a = list(create_dataloader(p, pp_fused, batch_size=4, seed=1))
+        import os
+
+        os.environ["VITOK_DISABLE_NATIVE"] = "1"
+        import vitok_tpu.native as nat
+
+        nat._TRIED = False
+        nat._EXT = None
+        try:
+            b = list(create_dataloader(p, pp_fused, batch_size=4, seed=1))
+        finally:
+            os.environ.pop("VITOK_DISABLE_NATIVE")
+            nat._TRIED = False
+            nat._EXT = None
+        assert len(a) == len(b) == 1
+        np.testing.assert_allclose(
+            a[0]["patches"], b[0]["patches"], atol=1e-5
+        )
+        np.testing.assert_array_equal(a[0]["patch_mask"], b[0]["patch_mask"])

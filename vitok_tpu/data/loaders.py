@@ -341,7 +341,18 @@ def create_dataloader(
     ``return_labels``). ``partial=False`` drops ragged final batches
     (matching ``.batched(partial=False)``).
     """
-    transform = build_transform(pp)
+    # Native fast path: when the pp tail is the canonical
+    # ...|to_tensor|normalize(m)|patchify(P, T) pattern, run the PIL-side
+    # prefix per sample and hand the tensor tail to the fused C++/OpenMP
+    # extension (one pass, batch-parallel). Falls back transparently.
+    fused = _split_fused_tail(pp)
+    if fused is not None:
+        prefix_pp, norm_mode, f_patch, f_tokens = fused
+        transform = build_transform(prefix_pp)
+        tail = None
+    else:
+        transform = build_transform(pp)
+        tail = "python"
 
     def sample_iter() -> Iterator[Tuple["Image.Image", int]]:
         if source in HF_DATASETS:
@@ -351,8 +362,21 @@ def create_dataloader(
         urls = resolve_source(source, rank, world, seed)
         return _iter_tar_shards(urls, seed + rank, shuffle_buffer, repeat, min_size)
 
+    def _emit(batch, labels):
+        if tail is None:
+            from vitok_tpu.native import patchify_collate_batch
+
+            out = patchify_collate_batch(
+                batch, f_patch, f_tokens, normalize=norm_mode
+            )
+        else:
+            out = patch_collate_fn(batch)
+        if return_labels:
+            out["labels"] = np.asarray(labels, np.int64)
+        return out
+
     def batch_gen():
-        batch: List[dict] = []
+        batch: List = []
         labels: List[int] = []
         n_seen = 0
         for img, label in sample_iter():
@@ -360,24 +384,51 @@ def create_dataloader(
                 break
             try:
                 d = transform(img)
+                if tail is None:
+                    # prefix ends PIL-side or CHW-array side; ensure array
+                    d = np.asarray(d, np.float32) if not hasattr(d, "shape") \
+                        else d
+                    if d.ndim == 3 and d.shape[-1] in (1, 3) and d.shape[0] not in (1, 3):
+                        d = np.ascontiguousarray(d.transpose(2, 0, 1))
             except Exception:
                 continue
             batch.append(d)
             labels.append(label)
             n_seen += 1
             if len(batch) == batch_size:
-                out = patch_collate_fn(batch)
-                if return_labels:
-                    out["labels"] = np.asarray(labels, np.int64)
-                yield out
+                yield _emit(batch, labels)
                 batch, labels = [], []
         if batch and partial:
-            out = patch_collate_fn(batch)
-            if return_labels:
-                out["labels"] = np.asarray(labels, np.int64)
-            yield out
+            yield _emit(batch, labels)
 
     return PrefetchingLoader(batch_gen, prefetch=prefetch)
+
+
+def _split_fused_tail(pp: str):
+    """Detect a ``...|to_tensor|normalize(m)|patchify(P, T)`` tail.
+
+    Returns (prefix_pp + '|to_tensor', norm_mode, patch, max_tokens) when the
+    fused native path applies, else None. A ``resize_to_token_budget`` op
+    before patchify keeps the python path (it operates on tensors).
+    """
+    from vitok_tpu.pp.registry import parse_op
+
+    parts = [p.strip() for p in pp.split("|") if p.strip()]
+    if len(parts) < 3:
+        return None
+    try:
+        ops = [parse_op(p) for p in parts]
+    except ValueError:
+        return None
+    if ops[-1][0] != "patchify" or ops[-2][0] != "normalize":
+        return None
+    if ops[-3][0] != "to_tensor":
+        return None
+    patch = ops[-1][1][0] if ops[-1][1] else 16
+    max_tokens = ops[-1][1][1] if len(ops[-1][1]) > 1 else 256
+    norm_mode = ops[-2][1][0] if ops[-2][1] else "minus_one_to_one"
+    prefix = "|".join(parts[:-2])  # keep to_tensor in the python prefix
+    return prefix, norm_mode, int(patch), int(max_tokens)
 
 
 __all__ = [
