@@ -70,6 +70,7 @@ def main():
         place_on_mesh,
         replicated,
         shard_batch,
+        shard_params,
     )
     from vitok_tpu.train_lib import create_optimizer, create_schedule
     from vitok_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -114,11 +115,18 @@ def main():
         code_width=code_width or 32,
         text_dim=args.num_classes,
     )
-    params = place_on_mesh(dit_init(cfg, jax.random.key(args.seed)), mesh)
+    # Real dp/fsdp/tp sharding (same path-based rules as the AE: qkv/fc1
+    # column-parallel, out/fc2 row-parallel, misc kernels fsdp, rest
+    # replicated).
+    params = shard_params(dit_init(cfg, jax.random.key(args.seed)), mesh)
 
     schedule = create_schedule(args.schedule, args.lr, args.steps, args.warmup_frac)
     tx = create_optimizer(schedule, weight_decay=args.wd, grad_clip=args.grad_clip)
     opt_state = place_on_mesh(tx.init(params), mesh)
+    from vitok_tpu.parallel.sharding import batch_specs
+    from jax.sharding import NamedSharding
+
+    data_sharding = NamedSharding(mesh, batch_specs(mesh))
     ema = jax.tree_util.tree_map(lambda p: jnp.array(p, jnp.float32, copy=True), params)
 
     # --- flow-matching step ---------------------------------------------
@@ -196,9 +204,14 @@ def main():
     ckpt_dir = os.path.join(os.path.abspath(args.output_dir), "last")
     step = 0
     if args.resume and os.path.exists(ckpt_dir):
-        restored = load_checkpoint(ckpt_dir)
+        restored = load_checkpoint(
+            ckpt_dir,
+            target={"params": params, "ema": ema, "opt": opt_state,
+                    "step": jnp.int32(0)},
+        )
         params = place_on_mesh(restored["params"], mesh)
         ema = place_on_mesh(restored["ema"], mesh)
+        opt_state = place_on_mesh(restored["opt"], mesh)
         step = int(restored["step"])
         if is_main:
             print(f"resumed at step {step}")
@@ -208,8 +221,8 @@ def main():
     gen = latent_batches()
     while step < args.steps and not guard.should_stop:
         z_np, y_np = next(gen)
-        z = jax.device_put(jnp.asarray(z_np), replicated(mesh))
-        y = jax.device_put(jnp.asarray(y_np), replicated(mesh))
+        z = jax.device_put(jnp.asarray(z_np), data_sharding)
+        y = jax.device_put(jnp.asarray(y_np), data_sharding)
         params, opt_state, ema, loss = train_step(
             params, opt_state, ema, z, y, rng, jnp.int32(step)
         )
@@ -225,13 +238,16 @@ def main():
             t_log = time.perf_counter()
         if step % args.save_freq == 0 or guard.should_stop:
             save_checkpoint(
-                {"params": params, "ema": ema, "step": jnp.int32(step)},
+                {"params": params, "ema": ema, "opt": opt_state,
+                 "step": jnp.int32(step)},
                 ckpt_dir,
             )
             if is_main:
                 print(f"saved checkpoint at step {step}")
     save_checkpoint(
-        {"params": params, "ema": ema, "step": jnp.int32(step)}, ckpt_dir
+        {"params": params, "ema": ema, "opt": opt_state,
+         "step": jnp.int32(step)},
+        ckpt_dir,
     )
     if is_main:
         print("training done")

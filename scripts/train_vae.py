@@ -194,6 +194,7 @@ def main():
     from vitok_tpu.utils.preemption import PreemptionGuard
 
     guard = PreemptionGuard()
+    eval_fn = None  # built once on first eval (jit cache must persist)
     rng = jax.random.key(args.seed + 1)
     step = int(state.step)
     loader_iter = iter(loader)
@@ -246,9 +247,10 @@ def main():
             from vitok_tpu.models.ae import forward_apply as fwd_apply
             from vitok_tpu.train_lib import unpatchify_dense_static
 
-            eval_fn = jax.jit(
-                lambda p, d: fwd_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
-            )
+            if eval_fn is None:
+                eval_fn = jax.jit(
+                    lambda p, d: fwd_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+                )
             ssim_vals, psnr_vals = [], []
             eval_iter = iter(loader)
             for _ in range(4):

@@ -184,3 +184,38 @@ class TestFusedNativePath:
             a[0]["patches"], b[0]["patches"], atol=1e-5
         )
         np.testing.assert_array_equal(a[0]["patch_mask"], b[0]["patch_mask"])
+
+
+class TestLoaderRobustness:
+    def test_abandoned_iterator_stops_producer(self, tmp_path):
+        """Breaking out of iteration must release the producer thread."""
+        import threading
+        import time as _time
+
+        p = make_tar(str(tmp_path / "a.tar"), n_images=8)
+        before = threading.active_count()
+        loader = create_dataloader(p, PP, batch_size=2, repeat=True)
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon
+        deadline = _time.time() + 5
+        while threading.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_fused_path_skips_oversized(self, tmp_path):
+        """Over-budget images are skipped (ignore-and-continue), not fatal."""
+        rng = np.random.default_rng(0)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        Image.fromarray(
+            rng.integers(0, 255, (400, 400, 3), dtype=np.uint8)
+        ).save(d / "big.png")
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            ).save(d / f"small{i}.png")
+        pp = "to_tensor|normalize(minus_one_to_one)|patchify(16, 16)"
+        batches = list(create_dataloader(str(d), pp, batch_size=4))
+        assert len(batches) == 1
+        assert batches[0]["patches"].shape[0] == 4

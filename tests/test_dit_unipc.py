@@ -195,3 +195,10 @@ class TestUniPC:
             sample = s.step(v, t, sample).prev_sample
         err = np.abs(np.asarray(sample) - x0).max()
         assert err < 5e-2, err
+
+
+def test_dit_non_square_implicit_grid():
+    """Token counts that aren't perfect squares fall back to a ceil grid."""
+    m = DiT(**SMALL, code_width=8, text_dim=10, attn_impl="xla")
+    out = m(dit_input(n=60, c=8, with_pos=False))
+    assert out.shape == (2, 60, 8)

@@ -115,3 +115,16 @@ class TestFlashBackward:
             np.testing.assert_allclose(
                 np.asarray(a)[:, :100], np.asarray(b)[:, :100], atol=1e-4
             )
+
+
+class TestBlockPaddingRegression:
+    @pytest.mark.parametrize("n", [300, 384, 700])
+    def test_awkward_lengths_fully_written(self, n):
+        """N between block multiples must not drop trailing query blocks
+        (regression: pad used max(bq, bk) instead of lcm)."""
+        q, k, v = qkv(n=n, h=2, d=64)
+        out = flash_attention(q, k, v, block_q=256, block_k=512)
+        ref = xla_ref(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )

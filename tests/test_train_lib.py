@@ -208,7 +208,17 @@ class TestMuon:
         params = init_params(cfg, jax.random.key(0))
         tx = muon(1e-3)
         state = tx.init(params)
-        # momentum buffers exist only for matrix kernels
-        mom = state.momentum
-        assert mom["encoder_blocks"]["norm1"].get("scale") is None
-        assert mom["encoder_blocks"]["attn"]["qkv"]["kernel"] is not None
+        # multi_transform: muon momentum only over matrix kernels, adam
+        # moments only over the rest — no duplicated state.
+        inner = state.inner_states
+        muon_mom = inner["muon"].inner_state[0].momentum
+        adam_mu = inner["adam"].inner_state[0].mu
+        assert muon_mom["encoder_blocks"]["attn"]["qkv"]["kernel"].size > 0
+        # masked-out leaves carry optax MaskedNode placeholders, not arrays
+        assert not hasattr(
+            muon_mom["encoder_blocks"]["norm1"]["scale"], "shape"
+        )
+        assert adam_mu["encoder_blocks"]["norm1"]["scale"].size > 0
+        assert not hasattr(
+            adam_mu["encoder_blocks"]["attn"]["qkv"]["kernel"], "shape"
+        )

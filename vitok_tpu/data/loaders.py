@@ -286,7 +286,13 @@ def _iter_hf_streaming(
 
 
 class PrefetchingLoader:
-    """Iterate collated batches with a background producer thread."""
+    """Iterate collated batches with a background producer thread.
+
+    The consumer may abandon iteration at any point (``break``, partial
+    ``iter()``): closing the generator signals the producer, which unblocks
+    from the bounded queue and tears down its source (tar handles, pipes)
+    instead of leaking a blocked thread per abandoned iterator.
+    """
 
     def __init__(self, gen_factory: Callable[[], Iterator], prefetch: int = 2):
         self._factory = gen_factory
@@ -295,26 +301,53 @@ class PrefetchingLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: List[BaseException] = []
 
         def produce():
             try:
-                for item in self._factory():
-                    q.put(item)
+                src = self._factory()
+                for item in src:
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        if hasattr(src, "close"):
+                            src.close()
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # The sentinel MUST reach the consumer (a dropped sentinel
+                # deadlocks it on q.get); block with stop-aware retries.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            # Drain so a producer blocked on put() can observe the stop.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def create_dataloader(
@@ -356,7 +389,10 @@ def create_dataloader(
 
     def sample_iter() -> Iterator[Tuple["Image.Image", int]]:
         if source in HF_DATASETS:
-            return _iter_hf_streaming(source, seed, num_samples)
+            # Rank-stride the stream so multi-host processes see disjoint
+            # samples (same contract as the folder/tar paths).
+            gen = _iter_hf_streaming(source, seed, None)
+            return itertools.islice(gen, rank, None, world)
         if os.path.isdir(source):
             return _iter_image_folder(source, rank, world, seed, repeat)
         urls = resolve_source(source, rank, world, seed)
@@ -390,6 +426,14 @@ def create_dataloader(
                         else d
                     if d.ndim == 3 and d.shape[-1] in (1, 3) and d.shape[0] not in (1, 3):
                         d = np.ascontiguousarray(d.transpose(2, 0, 1))
+                    # ignore-and-continue for over-budget samples: the fused
+                    # batcher would otherwise raise at collate time and kill
+                    # the loader (the python path fails per-sample).
+                    _, hh, ww = d.shape
+                    if (
+                        -(-hh // f_patch) * -(-ww // f_patch) > f_tokens
+                    ):
+                        continue
             except Exception:
                 continue
             batch.append(d)

@@ -234,7 +234,9 @@ def apply(
         row = dit_input["row_idx"].astype(jnp.float32)
         col = dit_input["col_idx"].astype(jnp.float32)
     else:
-        side = int(round(math.sqrt(n)))
+        # Implicit grid: ceil side so any token count is covered (row-major
+        # prefix of a side x side grid).
+        side = int(math.ceil(math.sqrt(n)))
         yy, xx = jnp.meshgrid(jnp.arange(side), jnp.arange(side), indexing="ij")
         row = jnp.tile(yy.reshape(1, -1), (b, 1)).astype(jnp.float32)[:, :n]
         col = jnp.tile(xx.reshape(1, -1), (b, 1)).astype(jnp.float32)[:, :n]

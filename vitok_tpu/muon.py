@@ -6,9 +6,12 @@ external ``muon`` package). TPU-native implementation: the Newton-Schulz
 orthogonalization is five bf16 matmul iterations per 2-D weight — pure MXU
 work that composes with pjit sharding like any other pytree op.
 
-Matrix params (ndim >= 2; scan-stacked weights orthogonalize per depth
-slice) get orthogonalized momentum; everything else (norm scales, biases,
-gains) falls back to Adam, the standard Muon recipe.
+Matrix params (leaf name "kernel"; scan-stacked weights orthogonalize per
+depth slice) get orthogonalized momentum; everything else (norm scales,
+biases, gains, embeddings) gets Adam — partitioned with
+``optax.multi_transform`` so neither branch allocates state for the other's
+parameters (a full Adam state over 5B matrix params would be ~40GB of
+wasted fp32 moments).
 """
 
 from __future__ import annotations
@@ -60,10 +63,8 @@ def newton_schulz_orthogonalize(g: jax.Array, steps: int = 5) -> jax.Array:
     return x
 
 
-class MuonState(NamedTuple):
-    count: jax.Array
+class ScaleByMuonState(NamedTuple):
     momentum: Params
-    adam_state: optax.OptState
 
 
 def _is_matrix(path, p) -> bool:
@@ -71,6 +72,36 @@ def _is_matrix(path, p) -> bool:
     qualify (orthogonalized per depth slice). 1-D-per-depth params do not."""
     name = getattr(path[-1], "key", "")
     return p.ndim >= 2 and name in ("kernel",)
+
+
+def scale_by_muon(
+    momentum: float = 0.95,
+    nesterov: bool = True,
+    ns_steps: int = 5,
+) -> optax.GradientTransformation:
+    """NS-orthogonalized momentum direction (unscaled; chain with lr)."""
+
+    def init(params):
+        return ScaleByMuonState(
+            momentum=jax.tree_util.tree_map(jnp.zeros_like, params)
+        )
+
+    def update(grads, state, params=None):
+        new_mom = jax.tree_util.tree_map(
+            lambda m, g: momentum * m + g, state.momentum, grads
+        )
+
+        def direction(m, g):
+            mg = momentum * m + g if nesterov else m
+            ortho = newton_schulz_orthogonalize(mg, ns_steps)
+            rows, cols = mg.shape[-2], mg.shape[-1]
+            scale = max(1.0, rows / cols) ** 0.5
+            return (scale * ortho).astype(g.dtype)
+
+        updates = jax.tree_util.tree_map(direction, new_mom, grads)
+        return updates, ScaleByMuonState(momentum=new_mom)
+
+    return optax.GradientTransformation(init, update)
 
 
 def muon(
@@ -84,61 +115,25 @@ def muon(
 ) -> optax.GradientTransformation:
     """Muon for matrix params + Adam for the rest (reference: momentum 0.95)."""
 
-    def init(params):
-        mom = jax.tree_util.tree_map_with_path(
-            lambda path, p: jnp.zeros_like(p) if _is_matrix(path, p) else None,
-            params,
-        )
-        adam = optax.adam(1.0, b1=adam_b1, b2=adam_b2)  # lr applied manually
-        return MuonState(
-            count=jnp.zeros((), jnp.int32),
-            momentum=mom,
-            adam_state=adam.init(params),
-        )
+    muon_tx = optax.chain(
+        scale_by_muon(momentum, nesterov, ns_steps),
+        optax.scale_by_learning_rate(learning_rate),  # negates
+    )
+    adam_lr = (
+        (lambda c: adam_lr_scale * learning_rate(c))
+        if callable(learning_rate)
+        else adam_lr_scale * learning_rate
+    )
+    adam_tx = optax.adam(adam_lr, b1=adam_b1, b2=adam_b2)
 
-    def update(grads, state, params=None):
-        lr = (
-            learning_rate(state.count)
-            if callable(learning_rate)
-            else learning_rate
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, p: "muon" if _is_matrix(path, p) else "adam", params
         )
 
-        new_mom = jax.tree_util.tree_map_with_path(
-            lambda path, m, g: (
-                momentum * m + g if m is not None else None
-            ),
-            state.momentum,
-            grads,
-            is_leaf=lambda x: x is None,
-        )
-
-        adam = optax.adam(1.0, b1=adam_b1, b2=adam_b2)
-        adam_updates, new_adam_state = adam.update(grads, state.adam_state, params)
-
-        def mk_update(path, m, g, au):
-            if m is None:
-                return (lr * adam_lr_scale) * au
-            mg = momentum * m + g if nesterov else m
-            ortho = newton_schulz_orthogonalize(mg, ns_steps)
-            # Scale correction for rectangular matrices (Muon convention).
-            rows, cols = mg.shape[-2], mg.shape[-1]
-            scale = max(1.0, rows / cols) ** 0.5
-            return (-lr * scale) * ortho.astype(g.dtype)
-
-        updates = jax.tree_util.tree_map_with_path(
-            lambda path, m, g, au: mk_update(path, m, g, au),
-            new_mom,
-            grads,
-            adam_updates,
-            is_leaf=lambda x: x is None,
-        )
-        return updates, MuonState(
-            count=state.count + 1,
-            momentum=new_mom,
-            adam_state=new_adam_state,
-        )
-
-    return optax.GradientTransformation(init, update)
+    return optax.multi_transform(
+        {"muon": muon_tx, "adam": adam_tx}, label_fn
+    )
 
 
-__all__ = ["muon", "newton_schulz_orthogonalize"]
+__all__ = ["muon", "scale_by_muon", "newton_schulz_orthogonalize"]

@@ -221,8 +221,12 @@ def _flash_fwd(
     b, n, h, d = q.shape
     out_dtype = v.dtype
 
-    # Pad token axis to a block multiple; padded tokens are masked out.
-    n_pad = -n % max(block_q, block_k)
+    # Pad the token axis so it divides BOTH block sizes (max() is not enough
+    # when the clamped blocks aren't multiples of each other — a short pad
+    # would silently drop trailing query blocks). Padding is masked out.
+    import math as _math
+
+    n_pad = -n % _math.lcm(block_q, block_k)
     if patch_mask is None:
         mask = jnp.ones((b, n), jnp.int32)
     else:

@@ -48,17 +48,26 @@ def ae_param_specs(mesh: Mesh) -> Any:
     fsdp = _axis(mesh, FSDP_AXIS)
     tp = _axis(mesh, MODEL_AXIS)
 
-    def spec_for(path) -> P:
+    def spec_for(path, leaf=None) -> P:
         keys = [getattr(k, "key", str(k)) for k in path]
-        name = "/".join(keys)
-        if "qkv" in keys or "fc1" in keys:
-            return P(None, fsdp, tp)  # [depth, in(fsdp), out(tp)]
-        if "out" in keys or "fc2" in keys:
-            return P(None, tp, fsdp)  # [depth, in(tp), out(fsdp)]
-        if keys[-1] == "kernel":
-            # Top-level embeds/heads [in, out]: shard the wide side over fsdp.
-            return P(None, fsdp)
-        # norms / layer_scale / biases: replicated.
+        ndim = getattr(leaf, "ndim", None)
+        is_kernel = keys[-1] in ("kernel", "kernel_int8")
+        if is_kernel and ndim == 3:
+            # Stacked block kernels [depth, in, out].
+            if "qkv" in keys or "fc1" in keys:
+                return P(None, fsdp, tp)  # column-parallel
+            if "out" in keys or "fc2" in keys:
+                return P(None, tp, fsdp)  # row-parallel
+            return P(None, fsdp, None)
+        if is_kernel and ndim == 2:
+            # Top-level embeds/heads [in, out]: shard the output over fsdp
+            # when it divides evenly, else replicate.
+            if fsdp is not None and leaf is not None:
+                size = mesh.shape[fsdp]
+                if leaf.shape[1] % size == 0:
+                    return P(None, fsdp)
+            return P()
+        # norms / scales / biases / embeddings: replicated.
         return P()
 
     return spec_for
@@ -68,7 +77,9 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     """Place a param pytree onto the mesh according to ``ae_param_specs``."""
     spec_fn = ae_param_specs(mesh)
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(x, NamedSharding(mesh, spec_fn(path))),
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, spec_fn(path, x))
+        ),
         params,
     )
 
@@ -77,7 +88,7 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
     """Pytree of NamedShardings matching ``params`` (for jit in_shardings)."""
     spec_fn = ae_param_specs(mesh)
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: NamedSharding(mesh, spec_fn(path)), params
+        lambda path, x: NamedSharding(mesh, spec_fn(path, x)), params
     )
 
 

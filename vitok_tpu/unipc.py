@@ -238,11 +238,12 @@ class FlowUniPCMultistepScheduler:
             and self.model_outputs[-1] is not None
         )
         if use_corrector:
+            # History keeps the PRE-correction x0 conversion (the corrector
+            # refines the sample, not the stored model output — matching the
+            # documented FlowUniPC algorithm).
             sample = self._uni_c_update(
                 x0_pred, self.last_sample, sample, self.this_order
             )
-            # Re-derive x0 from the corrected sample.
-            x0_pred = self._to_x0(model_output, sample, sigma_s0)
 
         # Shift history.
         for i in range(self.config.solver_order - 1):
