@@ -1,0 +1,112 @@
+"""Sequence-parallel (token-sharded) forward vs single-device numerics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vitok_tpu.models import AEConfig, init_params
+from vitok_tpu.models.ae import forward_apply
+from vitok_tpu.ops.attention import _xla_attention, make_attention_mask
+from vitok_tpu.parallel import create_mesh
+from vitok_tpu.parallel.sequence import (
+    SEQ_AXIS,
+    halo_attention,
+    sequence_parallel_forward,
+)
+from tests.test_ae import TINY, make_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestHaloAttention:
+    def test_matches_global_swa(self):
+        """Sharded halo attention == global sliding-window attention."""
+        from jax import shard_map
+
+        mesh = create_mesh({SEQ_AXIS: 8})
+        b, n, h, d = 2, 128, 2, 16
+        sw = 8
+        ks = jax.random.split(jax.random.key(0), 3)
+        q, k, v = [jax.random.normal(kk, (b, n, h, d)) for kk in ks]
+        mask = jnp.ones((b, n), bool).at[0, 100:].set(False)
+
+        ref = _xla_attention(q, k, v, make_attention_mask(mask, n, sw))
+        ref = ref * mask[:, :, None, None]
+
+        spec = P(None, SEQ_AXIS, None, None)
+        f = shard_map(
+            lambda q_, k_, v_, m_: halo_attention(q_, k_, v_, m_, sw),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P(None, SEQ_AXIS)),
+            out_specs=spec,
+            check_vma=False,
+        )
+        out = f(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_window_larger_than_shard_raises(self):
+        from jax import shard_map
+
+        mesh = create_mesh({SEQ_AXIS: 8})
+        q = jnp.zeros((1, 64, 2, 16))  # 8 tokens/shard
+        with pytest.raises(ValueError, match="sliding_window"):
+            shard_map(
+                lambda q_: halo_attention(q_, q_, q_, None, 16),
+                mesh=mesh,
+                in_specs=(P(None, SEQ_AXIS, None, None),),
+                out_specs=P(None, SEQ_AXIS, None, None),
+                check_vma=False,
+            )(q)
+
+
+class TestSequenceParallelForward:
+    def test_matches_single_device(self):
+        """Token-sharded full forward == single-device forward."""
+        cfg = AEConfig(**TINY, sw=4)
+        params = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=2, n=64, grid=(8, 8))
+
+        ref = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+
+        mesh = create_mesh({SEQ_AXIS: 8})
+        out = sequence_parallel_forward(
+            params, batch, cfg, mesh, compute_dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["patches"]),
+            np.asarray(ref["patches"]),
+            atol=2e-4,
+        )
+
+    def test_requires_sw(self):
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        mesh = create_mesh({SEQ_AXIS: 8})
+        with pytest.raises(ValueError, match="sw"):
+            sequence_parallel_forward(
+                params, make_batch(b=1, n=64), cfg, mesh
+            )
+
+    def test_masked_batch(self):
+        """Padding distributed onto the tail shards stays exact."""
+        cfg = AEConfig(**TINY, sw=4)
+        params = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=1, n=64, grid=(6, 6), valid=36)
+        ref = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        mesh = create_mesh({SEQ_AXIS: 8})
+        out = sequence_parallel_forward(
+            params, batch, cfg, mesh, compute_dtype=jnp.float32
+        )
+        m = np.asarray(batch["patch_mask"])
+        np.testing.assert_allclose(
+            np.asarray(out["patches"])[m],
+            np.asarray(ref["patches"])[m],
+            atol=2e-4,
+        )

@@ -105,6 +105,16 @@ def dot_product_attention(
         ``[B, N, H, D]`` in the dtype of ``v``.
     """
     b, n, h, d = q.shape
+    if impl.startswith("halo:"):
+        # Sequence-parallel halo attention: only valid inside a shard_map
+        # over the named token axis (see vitok_tpu.parallel.sequence).
+        from vitok_tpu.parallel.sequence import halo_attention
+
+        if sliding_window is None:
+            raise ValueError("halo attention requires a sliding window")
+        return halo_attention(
+            q, k, v, patch_mask, sliding_window, axis=impl.split(":", 1)[1]
+        )
     if impl == "auto":
         # Pallas kernel validated for head_dim 64 (350M family) and 128 (5B).
         impl = (

@@ -1,0 +1,159 @@
+"""Sequence parallelism: token-sharded forward with halo-exchange attention.
+
+The genuine scaling improvement SURVEY.md §5.7/§7 identifies beyond the
+reference: at 8192p one image is 262k tokens — the reference is forever
+bound to one GPU's memory/FLOPs for it. Here the token axis shards across
+chips (`seq` mesh axis). Everything in the ViT block is per-token
+(matmuls/norms/RoPE shard trivially); only sliding-window attention needs
+neighbor context, which a **halo exchange** provides: each shard
+`ppermute`s its first/last ``sw`` keys/values to its neighbors over ICI,
+then computes windowed attention locally. Communication is O(sw·width) per
+shard per layer — independent of total sequence length.
+
+``sequence_parallel_forward`` runs the full AE forward under ``shard_map``
+with token-sharded activations; numerics are verified identical to the
+single-device forward on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+Array = jax.Array
+
+SEQ_AXIS = "seq"
+
+
+def halo_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    patch_mask: Optional[Array],
+    sliding_window: int,
+    axis: str = SEQ_AXIS,
+) -> Array:
+    """Windowed attention over a token-sharded sequence (inside shard_map).
+
+    q, k, v: ``[B, n_local, H, D]`` (local shard). Each shard receives the
+    ``sw`` boundary keys/values of both neighbors via ``ppermute``
+    (edge shards get zero-fill, masked out via the exchanged patch mask),
+    then attends its local queries against ``[sw | local | sw]`` keys with
+    the exact global window mask.
+    """
+    n_shards = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    b, nl, h, d = q.shape
+    sw = sliding_window
+    if sw > nl:
+        raise ValueError(
+            f"halo attention needs sliding_window ({sw}) <= tokens per shard ({nl})"
+        )
+
+    if patch_mask is None:
+        patch_mask = jnp.ones((b, nl), bool)
+    pm = patch_mask.astype(bool)
+
+    # Halo exchange over ICI: shard i sends its tail to i+1 and head to i-1.
+    to_right = [(i, i + 1) for i in range(n_shards - 1)]
+    to_left = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def from_left(x):  # left neighbor's tail (zero-filled at shard 0)
+        return jax.lax.ppermute(x, axis, to_right)
+
+    def from_right(x):  # right neighbor's head (zero-filled at last shard)
+        return jax.lax.ppermute(x, axis, to_left)
+
+    k_ext = jnp.concatenate(
+        [from_left(k[:, -sw:]), k, from_right(k[:, :sw])], axis=1
+    )
+    v_ext = jnp.concatenate(
+        [from_left(v[:, -sw:]), v, from_right(v[:, :sw])], axis=1
+    )
+    pm_ext = jnp.concatenate(
+        [from_left(pm[:, -sw:]), pm, from_right(pm[:, :sw])], axis=1
+    )
+
+    # Global positions: queries offset by idx*nl; extended keys by idx*nl-sw.
+    q_pos = idx * nl + jnp.arange(nl)
+    k_pos = idx * nl - sw + jnp.arange(nl + 2 * sw)
+    window = jnp.abs(q_pos[:, None] - k_pos[None, :]) <= sw  # [nl, next]
+    mask = window[None, None] & pm_ext[:, None, None, :]  # [B,1,nl,next]
+
+    scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_ext, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v_ext,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    # Dead query rows (padding) -> 0, matching the flash kernel semantics.
+    return out * pm[:, :, None, None].astype(out.dtype)
+
+
+def _seq_specs(batch: Dict[str, Array]):
+    """PartitionSpecs for a NaFlex dict with the token axis sharded."""
+    specs = {}
+    for key, val in batch.items():
+        if val is None:
+            specs[key] = P()
+        elif val.ndim >= 2:
+            specs[key] = P(*((None, SEQ_AXIS) + (None,) * (val.ndim - 2)))
+        else:
+            specs[key] = P()
+    return specs
+
+
+def sequence_parallel_forward(
+    params,
+    patch_dict: Dict[str, Array],
+    cfg,
+    mesh: Mesh,
+    compute_dtype=jnp.bfloat16,
+):
+    """Full AE forward with the token axis sharded over the ``seq`` mesh axis.
+
+    Requires ``cfg.sw`` (the halo size equals the window) and token count
+    divisible by the ``seq`` axis size. Params are replicated; activations,
+    RoPE tables, and the attention halo all live shard-local — the only
+    inter-chip traffic is the O(sw) boundary exchange per attention call.
+    """
+    from vitok_tpu.models.ae import forward_apply
+
+    if cfg.sw is None:
+        raise ValueError("sequence_parallel_forward requires cfg.sw (SWA)")
+    cfg_local = dataclasses.replace(cfg, attn_impl=f"halo:{SEQ_AXIS}")
+
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(), params),
+        _seq_specs(patch_dict),
+    )
+    # Output dict mirrors input metadata + patches.
+    out_template = {
+        k: patch_dict[k]
+        for k in ("patch_mask", "row_idx", "col_idx", "orig_height", "orig_width")
+        if k in patch_dict
+    }
+    out_template["patches"] = patch_dict["patches"]
+    out_specs = _seq_specs(out_template)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def local_forward(p, d):
+        return forward_apply(p, d, cfg_local, compute_dtype=compute_dtype)
+
+    return local_forward(params, patch_dict)
+
+
+__all__ = ["halo_attention", "sequence_parallel_forward", "SEQ_AXIS"]
