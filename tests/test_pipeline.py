@@ -1,0 +1,75 @@
+"""Pipeline-parallel decode vs single-device numerics (virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.models import AEConfig, init_params
+from vitok_tpu.models.ae import decode_apply, encode_apply
+from vitok_tpu.parallel import create_mesh
+from vitok_tpu.parallel.pipeline import PIPE_AXIS, pipeline_parallel_decode
+from tests.test_ae import TINY, make_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(depth=8, b=8):
+    cfg = AEConfig(**{**TINY, "decoder_depth": depth})
+    params = init_params(cfg, jax.random.key(0))
+    batch = make_batch(b=b, n=16, grid=(4, 4))
+    enc = encode_apply(params, batch, cfg, compute_dtype=jnp.float32)
+    return cfg, params, enc
+
+
+class TestPipelineDecode:
+    @pytest.mark.parametrize("stages,microbatches", [(4, 4), (2, 8), (8, 8)])
+    def test_matches_single_device(self, stages, microbatches):
+        cfg, params, enc = _setup(depth=8, b=8)
+        ref = decode_apply(params, enc, cfg, compute_dtype=jnp.float32)
+
+        mesh = create_mesh(
+            {PIPE_AXIS: stages}, devices=jax.devices()[:stages]
+        )
+        out = pipeline_parallel_decode(
+            params, enc, cfg, mesh,
+            num_microbatches=microbatches, compute_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["patches"]),
+            np.asarray(ref["patches"]),
+            atol=2e-4,
+        )
+
+    def test_masked_batch(self):
+        cfg = AEConfig(**{**TINY, "decoder_depth": 8})
+        params = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=4, n=32, grid=(4, 4), valid=16)
+        enc = encode_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        ref = decode_apply(params, enc, cfg, compute_dtype=jnp.float32)
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        out = pipeline_parallel_decode(
+            params, enc, cfg, mesh, num_microbatches=4,
+            compute_dtype=jnp.float32,
+        )
+        m = np.asarray(batch["patch_mask"])
+        np.testing.assert_allclose(
+            np.asarray(out["patches"])[m],
+            np.asarray(ref["patches"])[m],
+            atol=2e-4,
+        )
+
+    def test_indivisible_depth_raises(self):
+        cfg, params, enc = _setup(depth=8)
+        mesh = create_mesh({PIPE_AXIS: 3}, devices=jax.devices()[:3])
+        with pytest.raises(ValueError, match="divisible"):
+            pipeline_parallel_decode(params, enc, cfg, mesh)
+
+    def test_indivisible_batch_raises(self):
+        cfg, params, enc = _setup(depth=8, b=6)
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="microbatches"):
+            pipeline_parallel_decode(params, enc, cfg, mesh)
