@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--output", default=None, help="JSON output path")
     ap.add_argument("--random-weights", action="store_true",
                     help="skip checkpoint load (pipeline smoke / perf runs)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8-quantize block weights (reference evals "
+                    "run torchao-quantized, eval_vae.py:85)")
     args = ap.parse_args()
 
     from vitok_tpu.data import create_dataloader
@@ -90,6 +93,11 @@ def main():
             variant = get_pretrained_info(args.model)[2]
         cfg = AEConfig.from_variant(variant, **overrides)
         params = init_params(cfg, jax.random.key(args.seed), dtype=jnp.bfloat16)
+
+    if args.quant:
+        from vitok_tpu.ops.quant import quantize_block_params
+
+        params = quantize_block_params(params)
 
     encode = jax.jit(
         lambda p, d: encode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
@@ -132,7 +140,9 @@ def main():
         t0 = time.perf_counter()
         encoded = encode(params, jbatch)
         output = decode(params, encoded)
-        jax.block_until_ready(output)
+        # Completion fence via scalar fetch (block_until_ready is unreliable
+        # on tunneled runtimes; a value fetch always waits).
+        float(output["patches"].astype(jnp.float32).mean())
         device_time += time.perf_counter() - t0
 
         refs = postprocess(jbatch, do_unpack=True,
