@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--quant", action="store_true",
                     help="int8-quantize block weights (reference evals "
                     "run torchao-quantized, eval_vae.py:85)")
+    ap.add_argument("--save-visuals", default=None,
+                    help="directory for side-by-side ref/recon PNGs of the "
+                    "first batch (reference saves recon visuals)")
     args = ap.parse_args()
 
     from vitok_tpu.data import create_dataloader
@@ -150,6 +153,22 @@ def main():
         recons = postprocess(dict(output), do_unpack=True,
                              patch=cfg.spatial_stride)
         calc.update(refs, recons)
+        if args.save_visuals and n_images == 0:
+            import os
+
+            from PIL import Image
+
+            os.makedirs(args.save_visuals, exist_ok=True)
+            for i, (r, x) in enumerate(zip(refs, recons)):
+                pair = np.concatenate(
+                    [np.asarray(r), np.asarray(x)], axis=2
+                )  # side by side
+                arr = (
+                    (np.clip(pair, -1, 1) + 1) / 2 * 255
+                ).astype(np.uint8).transpose(1, 2, 0)
+                Image.fromarray(arr).save(
+                    os.path.join(args.save_visuals, f"pair_{i:03d}.png")
+                )
         n_images += len(refs)
     wall = time.perf_counter() - t_start
 

@@ -128,6 +128,12 @@ def dot_product_attention(
         return flash_attention(
             q, k, v, patch_mask=patch_mask, sliding_window=sliding_window
         )
+    if impl != "xla":
+        # Validate like the reference's backend check (attention.py:39-43).
+        raise ValueError(
+            f"Unknown attention impl: {impl!r}. "
+            "Use 'auto', 'pallas', 'xla', or 'halo:<axis>'."
+        )
     mask = make_attention_mask(patch_mask, n, sliding_window)
     return _xla_attention(q, k, v, mask)
 
