@@ -8,8 +8,8 @@ rFID/rFDD/SSIM/PSNR via MetricCalculator, and emits a JSON stats dict.
 TPU-native differences: split encoder/decoder run as two jitted XLA programs
 (the analog of the reference's two torch.compile'd AE halves,
 eval_vae.py:74-91), NaFlex token counts are bucketed so jit compiles a small
-fixed set of shapes, and timing uses block_until_ready fences instead of
-cuda.synchronize.
+fixed set of shapes, and timing is fenced by fetching a scalar computed
+inside the jitted decode (the reliable analog of cuda.synchronize).
 
 Usage:
     python scripts/eval_vae.py --model 350M-f16x64 --data /path/to/imgs \
@@ -105,9 +105,13 @@ def main():
     encode = jax.jit(
         lambda p, d: encode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
     )
-    decode = jax.jit(
-        lambda p, d: decode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
-    )
+    def _decode_fenced(p, d):
+        out = decode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+        # Completion scalar computed INSIDE the program: fetching it is the
+        # timing fence (no extra eager dispatches in the timed window).
+        return out, jnp.mean(out["patches"].astype(jnp.float32))
+
+    decode = jax.jit(_decode_fenced)
 
     # --- metrics ---------------------------------------------------------
     metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
@@ -142,10 +146,8 @@ def main():
         jax.block_until_ready(jbatch)
         t0 = time.perf_counter()
         encoded = encode(params, jbatch)
-        output = decode(params, encoded)
-        # Completion fence via scalar fetch (block_until_ready is unreliable
-        # on tunneled runtimes; a value fetch always waits).
-        float(output["patches"].astype(jnp.float32).mean())
+        output, fence = decode(params, encoded)
+        float(fence)  # scalar fetch = completion fence
         device_time += time.perf_counter() - t0
 
         refs = postprocess(jbatch, do_unpack=True,

@@ -99,7 +99,8 @@ def dot_product_attention(
         patch_mask: optional ``[B, N]`` bool, True = valid token. Unlike the
             reference flash path, masking is always honored.
         sliding_window: optional half-width; query i sees keys |i-j| <= sw.
-        impl: ``"auto" | "pallas" | "xla"``.
+        impl: ``"auto" | "pallas" | "xla" | "halo:<axis>"`` (the halo form
+            is only valid inside a shard_map over the named token axis).
 
     Returns:
         ``[B, N, H, D]`` in the dtype of ``v``.

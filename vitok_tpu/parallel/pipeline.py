@@ -10,11 +10,15 @@ XLA overlaps each stage's compute with its neighbor transfer over ICI.
 The reference has no pipeline parallelism at all (SURVEY.md §2.9). Here it
 is verified numerically identical to the single-device decode on the
 virtual CPU mesh.
+
+Current memory profile: microbatch activations are replicated to every
+stage and the outputs buffer is psum-broadcast — correct and simple, but
+per-chip activation memory does not shrink with pipeline depth yet
+(stage-0-only feeding / sharded outputs are the follow-up optimization).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Dict, Optional
 
@@ -22,8 +26,6 @@ import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-
-from vitok_tpu.ops.norms import layer_norm
 
 Array = jax.Array
 

@@ -86,16 +86,11 @@ def halo_attention(
     window = jnp.abs(q_pos[:, None] - k_pos[None, :]) <= sw  # [nl, next]
     mask = window[None, None] & pm_ext[:, None, None, :]  # [B,1,nl,next]
 
-    scale = 1.0 / (d ** 0.5)
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_ext, preferred_element_type=jnp.float32
-    ) * scale
-    logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v_ext,
-        preferred_element_type=jnp.float32,
-    ).astype(v.dtype)
+    # Same softmax-attention core as every other backend (single source of
+    # numerics — keeps the sharded==single-device parity invariant).
+    from vitok_tpu.ops.attention import _xla_attention
+
+    out = _xla_attention(q, k_ext, v_ext, mask)
     # Dead query rows (padding) -> 0, matching the flash kernel semantics.
     return out * pm[:, :, None, None].astype(out.dtype)
 
@@ -137,13 +132,14 @@ def sequence_parallel_forward(
         jax.tree_util.tree_map(lambda _: P(), params),
         _seq_specs(patch_dict),
     )
-    # Output dict mirrors input metadata + patches.
+    # Output dict mirrors input metadata + the model half's output tensor
+    # ("patches" for decoder configs, "z" latents for encoder-only).
     out_template = {
         k: patch_dict[k]
         for k in ("patch_mask", "row_idx", "col_idx", "orig_height", "orig_width")
         if k in patch_dict
     }
-    out_template["patches"] = patch_dict["patches"]
+    out_template["patches" if cfg.decoder else "z"] = patch_dict["patches"]
     out_specs = _seq_specs(out_template)
 
     @functools.partial(
