@@ -110,3 +110,18 @@ class TestSequenceParallelForward:
             np.asarray(ref["patches"])[m],
             atol=2e-4,
         )
+
+
+def test_encoder_only_config():
+    """Encoder-only configs return sharded latents, not a tree mismatch."""
+    cfg = AEConfig(**{**TINY, "decoder": False, "sw": 4})
+    params = init_params(cfg, jax.random.key(0))
+    batch = make_batch(b=2, n=64, grid=(8, 8))
+    ref = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+    mesh = create_mesh({SEQ_AXIS: 8})
+    out = sequence_parallel_forward(
+        params, batch, cfg, mesh, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["z"]), np.asarray(ref["z"]), atol=2e-4
+    )
