@@ -200,9 +200,10 @@ class TestForward:
         cfg = AEConfig(**{**TINY, "sw": 0})
         assert cfg.sw is None
 
-    def test_grad_checkpoint_same_output(self):
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_grad_checkpoint_same_output(self, k):
         cfg = AEConfig(**TINY)
-        cfg_ckpt = AEConfig(**{**TINY, "checkpoint": 1})
+        cfg_ckpt = AEConfig(**{**TINY, "checkpoint": k})
         p = init_params(cfg, jax.random.key(0))
         batch = make_batch(b=1)
         a = forward_apply(p, batch, cfg, compute_dtype=jnp.float32)
@@ -210,6 +211,27 @@ class TestForward:
         np.testing.assert_allclose(
             np.asarray(a["patches"]), np.asarray(b["patches"]), atol=1e-6
         )
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_grad_checkpoint_same_grads(self, k):
+        """Remat must not change gradients (every-k-th-block path)."""
+        cfg = AEConfig(**TINY)
+        cfg_ckpt = AEConfig(**{**TINY, "checkpoint": k})
+        p = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=1)
+
+        def loss(pp, c):
+            out = forward_apply(pp, batch, c, compute_dtype=jnp.float32)
+            return jnp.mean(out["patches"].astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(lambda pp: loss(pp, cfg))(p)
+        g_ck = jax.grad(lambda pp: loss(pp, cfg_ckpt))(p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_ck)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
 
     def test_drop_path_train_only(self):
         cfg = AEConfig(**{**TINY, "drop_path_rate": 0.9})

@@ -427,12 +427,37 @@ def _run_block_stack(
         )
         return out, None
 
+    xs = (blocks, drop_path_rates, rngs)
+
+    if checkpoint > 1 and depth % checkpoint == 0:
+        # Every-k-th-block checkpointing — the reference's exact granularity
+        # (ae.py:159-160: layers with i % k == 0 run under torch.checkpoint,
+        # the rest store activations normally). Recompute cost is 1/k of a
+        # forward instead of a full forward.
+        groups = depth // checkpoint
+        remat_body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable
+        )
+
+        def group_body(carry: Array, group_xs) -> Tuple[Array, None]:
+            first = jax.tree_util.tree_map(lambda a: a[0], group_xs)
+            rest = jax.tree_util.tree_map(lambda a: a[1:], group_xs)
+            carry, _ = remat_body(carry, first)
+            carry, _ = jax.lax.scan(body, carry, rest)
+            return carry, None
+
+        grouped = jax.tree_util.tree_map(
+            lambda a: a.reshape((groups, checkpoint) + a.shape[1:]), xs
+        )
+        x, _ = jax.lax.scan(group_body, x, grouped)
+        return x
+
     if checkpoint > 0:
         body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.nothing_saveable
         )
 
-    x, _ = jax.lax.scan(body, x, (blocks, drop_path_rates, rngs))
+    x, _ = jax.lax.scan(body, x, xs)
     return x
 
 
