@@ -128,3 +128,38 @@ class TestBlockPaddingRegression:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=3e-5
         )
+
+
+class TestChunkedBackward:
+    def test_large_n_grads_match_direct(self):
+        """Above the chunk threshold, grads must equal the direct vjp."""
+        import vitok_tpu.ops.flash_attention as fa
+
+        old = fa._BWD_CHUNK_THRESHOLD
+        fa._BWD_CHUNK_THRESHOLD = 128  # force the chunked path at small N
+        try:
+            q, k, v = qkv(n=384, h=2, d=32)
+            mask = jnp.ones((1, 384), bool).at[0, 350:].set(False)
+            w = mask[..., None, None].astype(jnp.float32)
+
+            def loss(q_, k_, v_):
+                out = flash_attention(
+                    q_, k_, v_, patch_mask=mask, sliding_window=64,
+                    block_q=128, block_k=128,
+                )
+                return jnp.sum((out * w) ** 2)
+
+            gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+            def loss_ref(q_, k_, v_):
+                out = xla_ref(q_, k_, v_, patch_mask=mask, sliding_window=64)
+                return jnp.sum((out * w) ** 2)
+
+            gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            m = np.asarray(mask)[0]
+            for a, b in zip(gf, gr):
+                np.testing.assert_allclose(
+                    np.asarray(a)[0][m], np.asarray(b)[0][m], atol=2e-4
+                )
+        finally:
+            fa._BWD_CHUNK_THRESHOLD = old

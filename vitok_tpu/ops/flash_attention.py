@@ -366,20 +366,90 @@ def _core_fwd(q, k, v, has_mask, sliding_window, block_q, block_k, interpret, pa
     return out, (q, k, v, patch_mask)
 
 
+# Above this token count the backward recompute runs q-chunked so its
+# transient logits stay O(chunk * N) instead of O(N^2).
+_BWD_CHUNK_THRESHOLD = 2048
+_BWD_Q_CHUNK = 512
+
+
 def _core_bwd(has_mask, sliding_window, block_q, block_k, interpret, residuals, g):
-    """Backward via XLA recompute (training runs at small N; see module doc)."""
+    """Backward via recompute.
+
+    Small N (the 256-token training regime): one full XLA attention vjp.
+    Large N (high-res finetuning): the recompute is chunked over query
+    blocks with remat — each chunk's logits are materialized and
+    differentiated independently (no carry between q chunks), bounding
+    memory at O(q_chunk * N) per step while AD derives exact gradients.
+    dk/dv accumulate across chunks in fp32.
+    """
     from vitok_tpu.ops.attention import _xla_attention, make_attention_mask
 
     q, k, v, patch_mask = residuals
-    n = q.shape[1]
-    mask = make_attention_mask(patch_mask if has_mask else None, n, sliding_window)
+    b, n, h, d = q.shape
+    pm = patch_mask if has_mask else None
 
-    def f(q_, k_, v_):
-        return _xla_attention(q_, k_, v_, mask)
+    if n <= _BWD_CHUNK_THRESHOLD:
+        mask = make_attention_mask(pm, n, sliding_window)
 
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+        def f(q_, k_, v_):
+            return _xla_attention(q_, k_, v_, mask)
+
+        _, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    qc = _BWD_Q_CHUNK
+    n_pad = -n % qc
+    if n_pad:
+        pad4 = [(0, 0), (0, n_pad), (0, 0), (0, 0)]
+        q_p = jnp.pad(q, pad4)
+        g_p = jnp.pad(g, pad4)
+    else:
+        q_p, g_p = q, g
+    np_ = n + n_pad
+    n_chunks = np_ // qc
+
+    key_valid = (
+        pm.astype(bool) if pm is not None else jnp.ones((b, n), bool)
+    )
+    q_positions = jnp.arange(np_).reshape(n_chunks, qc)
+
+    @functools.partial(
+        jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
+    )
+    def chunk_grads(q_chunk, g_chunk, q_pos, k_, v_):
+        """(dq_chunk, dk_contrib, dv_contrib) for one query block."""
+        # [1|B, 1, qc, N] mask: key validity + window + query-in-range.
+        mask = key_valid[:, None, None, :]
+        if sliding_window is not None:
+            window = (
+                jnp.abs(q_pos[:, None] - jnp.arange(n)[None, :])
+                <= sliding_window
+            )
+            mask = mask & window[None, None]
+        mask = mask & (q_pos < n)[None, None, :, None]
+
+        def f(q_, k2, v2):
+            return _xla_attention(q_, k2, v2, mask)
+
+        out, vjp = jax.vjp(f, q_chunk, k_, v_)
+        dq_c, dk_c, dv_c = vjp(g_chunk)
+        return dq_c, dk_c.astype(jnp.float32), dv_c.astype(jnp.float32)
+
+    def scan_body(carry, xs):
+        dk_acc, dv_acc = carry
+        q_chunk, g_chunk, q_pos = xs
+        dq_c, dk_c, dv_c = chunk_grads(q_chunk, g_chunk, q_pos, k, v)
+        return (dk_acc + dk_c, dv_acc + dv_c), dq_c
+
+    zeros = jnp.zeros((b, n, h, d), jnp.float32)
+    q_chunks = q_p.reshape(b, n_chunks, qc, h, d).transpose(1, 0, 2, 3, 4)
+    g_chunks = g_p.reshape(b, n_chunks, qc, h, d).transpose(1, 0, 2, 3, 4)
+    (dk, dv), dq_chunks = jax.lax.scan(
+        scan_body, (zeros, zeros), (q_chunks, g_chunks, q_positions)
+    )
+    dq = dq_chunks.transpose(1, 0, 2, 3, 4).reshape(b, np_, h, d)[:, :n]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
