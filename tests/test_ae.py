@@ -233,6 +233,28 @@ class TestForward:
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
 
+    def test_grad_checkpoint_nondivisible_depth(self):
+        """depth % k != 0 keeps every-k-th granularity (trailing short group)."""
+        base = {**TINY, "encoder_depth": 3, "decoder_depth": 5}
+        cfg = AEConfig(**base)
+        cfg_ckpt = AEConfig(**{**base, "checkpoint": 2})
+        p = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=1)
+
+        def loss(pp, c):
+            out = forward_apply(pp, batch, c, compute_dtype=jnp.float32)
+            return jnp.mean(out["patches"].astype(jnp.float32) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(loss(p, cfg)), np.asarray(loss(p, cfg_ckpt)), atol=1e-6
+        )
+        g_ref = jax.grad(lambda pp: loss(pp, cfg))(p)
+        g_ck = jax.grad(lambda pp: loss(pp, cfg_ckpt))(p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_ck)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_drop_path_train_only(self):
         cfg = AEConfig(**{**TINY, "drop_path_rate": 0.9})
         p = init_params(cfg, jax.random.key(0))
@@ -255,6 +277,68 @@ class TestForward:
 # ---------------------------------------------------------------------------
 # Checkpoint interchange
 # ---------------------------------------------------------------------------
+
+
+class TestMetaContract:
+    """Model outputs carry the full reference patch-dict metadata.
+
+    The reference passes time_idx/grid_rows/grid_cols through encode and
+    decode outputs (vitok/models/ae.py:209-216,236-243); dropping them
+    silently changes the dict contract and knocks ``postprocess`` off the
+    dense reshape fast path.
+    """
+
+    META = {
+        "patch_mask",
+        "row_idx",
+        "col_idx",
+        "time_idx",
+        "orig_height",
+        "orig_width",
+        "grid_rows",
+        "grid_cols",
+    }
+
+    def _pp_batch(self):
+        from vitok_tpu.pp.io import preprocess
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8
+        )
+        return preprocess(
+            [img, img],
+            pp="to_tensor|normalize(minus_one_to_one)|patchify(16, 64)",
+        )
+
+    def test_encode_decode_keys(self):
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        batch = self._pp_batch()
+        assert self.META <= set(batch)
+        enc = encode_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        assert self.META <= set(enc), sorted(self.META - set(enc))
+        dec = decode_apply(params, enc, cfg, compute_dtype=jnp.float32)
+        assert self.META <= set(dec), sorted(self.META - set(dec))
+
+    def test_postprocess_keeps_dense_fast_path(self, monkeypatch):
+        from vitok_tpu.pp import ops as pp_ops
+        from vitok_tpu.pp.io import postprocess
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        dec = forward_apply(
+            params, self._pp_batch(), cfg, compute_dtype=jnp.float32
+        )
+        calls = []
+        dense = pp_ops._unpatchify_dense
+        monkeypatch.setattr(
+            pp_ops,
+            "_unpatchify_dense",
+            lambda *a, **k: calls.append(1) or dense(*a, **k),
+        )
+        imgs = postprocess(dec, output_format="0_255", do_unpack=True)
+        assert calls, "postprocess(model output) fell off the dense fast path"
+        assert imgs[0].shape == (3, 64, 64)
 
 
 class TestParamsIO:

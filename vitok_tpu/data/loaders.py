@@ -121,9 +121,6 @@ def resolve_source(
         if not part:
             continue
         if part.startswith("hf://"):
-            path = part[len("hf://"):]
-            repo, _, pattern = path.partition("/")
-            repo = repo + "/" + pattern.split("/")[0] if "/" not in repo else repo
             expanded = brace_expand(part[len("hf://"):])
             for rel in expanded:
                 org_repo = "/".join(rel.split("/")[:2])
@@ -267,12 +264,27 @@ def _iter_tar_shards(
 
 
 def _iter_hf_streaming(
-    name: str, seed: int, num_samples: Optional[int]
+    name: str,
+    seed: int,
+    num_samples: Optional[int],
+    rank: int = 0,
+    world: int = 1,
 ) -> Iterator[Tuple["Image.Image", int]]:
     from datasets import load_dataset  # gated: needs `datasets` + network
 
     repo, split, image_key = HF_DATASETS[name]
     ds = load_dataset(repo, split=split, streaming=True)
+    if world > 1:
+        # Shard-level split: each host downloads/decodes only its 1/world of
+        # the stream (vs an islice stride, which pulls everything on every
+        # host). Falls back to example-level striding when the dataset has
+        # fewer shards than hosts.
+        try:
+            from datasets.distributed import split_dataset_by_node
+
+            ds = split_dataset_by_node(ds, rank=rank, world_size=world)
+        except Exception:
+            ds = ds.shard(num_shards=world, index=rank)
     ds = ds.shuffle(seed=seed, buffer_size=1000)
     count = 0
     for ex in ds:
@@ -389,10 +401,9 @@ def create_dataloader(
 
     def sample_iter() -> Iterator[Tuple["Image.Image", int]]:
         if source in HF_DATASETS:
-            # Rank-stride the stream so multi-host processes see disjoint
-            # samples (same contract as the folder/tar paths).
-            gen = _iter_hf_streaming(source, seed, None)
-            return itertools.islice(gen, rank, None, world)
+            # Disjoint multi-host split happens at the dataset-shard level
+            # inside _iter_hf_streaming (same contract as folder/tar paths).
+            return _iter_hf_streaming(source, seed, None, rank, world)
         if os.path.isdir(source):
             return _iter_image_folder(source, rank, world, seed, repeat)
         urls = resolve_source(source, rank, world, seed)

@@ -429,12 +429,15 @@ def _run_block_stack(
 
     xs = (blocks, drop_path_rates, rngs)
 
-    if checkpoint > 1 and depth % checkpoint == 0:
+    if checkpoint > 1:
         # Every-k-th-block checkpointing — the reference's exact granularity
         # (ae.py:159-160: layers with i % k == 0 run under torch.checkpoint,
         # the rest store activations normally). Recompute cost is 1/k of a
-        # forward instead of a full forward.
+        # forward instead of a full forward. A depth not divisible by k
+        # leaves a shorter trailing group (still led by a remat'd block, as
+        # its index is a multiple of k) rather than degrading to full remat.
         groups = depth // checkpoint
+        remainder = depth % checkpoint
         remat_body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.nothing_saveable
         )
@@ -446,10 +449,17 @@ def _run_block_stack(
             carry, _ = jax.lax.scan(body, carry, rest)
             return carry, None
 
-        grouped = jax.tree_util.tree_map(
-            lambda a: a.reshape((groups, checkpoint) + a.shape[1:]), xs
-        )
-        x, _ = jax.lax.scan(group_body, x, grouped)
+        head = jax.tree_util.tree_map(lambda a: a[: groups * checkpoint], xs)
+        if groups:
+            grouped = jax.tree_util.tree_map(
+                lambda a: a.reshape((groups, checkpoint) + a.shape[1:]), head
+            )
+            x, _ = jax.lax.scan(group_body, x, grouped)
+        if remainder:
+            tail = jax.tree_util.tree_map(
+                lambda a: a[groups * checkpoint :], xs
+            )
+            x, _ = group_body(x, tail)
         return x
 
     if checkpoint > 0:
@@ -470,7 +480,20 @@ def _rope_tables(
     return compute_2d_freqs_cis(row, col, head_dim, theta)
 
 
-_META_KEYS = ("patch_mask", "row_idx", "col_idx", "orig_height", "orig_width")
+# Full metadata contract carried through encode/decode outputs — matches the
+# reference's passthrough set (vitok/models/ae.py:209-216,236-243) so that
+# ``postprocess`` on a decode output keeps the dense grid_rows/grid_cols
+# reshape fast path instead of falling into the mask-scan branch.
+_META_KEYS = (
+    "patch_mask",
+    "row_idx",
+    "col_idx",
+    "time_idx",
+    "orig_height",
+    "orig_width",
+    "grid_rows",
+    "grid_cols",
+)
 
 
 def _meta(d: Dict[str, Array]) -> Dict[str, Array]:
