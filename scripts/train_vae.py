@@ -16,6 +16,11 @@ Multi-host TPU pods: same command on every host (jax.distributed autoinit).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import math
@@ -72,7 +77,14 @@ def main():
     # losses (reference defaults train_vae.py:68-75)
     ap.add_argument("--charbonnier-weight", type=float, default=1.0)
     ap.add_argument("--ssim-weight", type=float, default=0.1)
-    ap.add_argument("--perceptual-weight", type=float, default=0.0)
+    ap.add_argument("--perceptual-weight", type=float, default=0.0,
+                    help="DINO feature loss weight (reference uses 500.0)")
+    ap.add_argument("--tile-size", type=int, default=256)
+    ap.add_argument("--n-tiles", type=int, default=2)
+    ap.add_argument("--dino-weights", default=None,
+                    help="timm-named DINO ViT state dict (.pth/.safetensors);"
+                         " defaults to $VITOK_DINO_WEIGHTS, else random init")
+    ap.add_argument("--dino-size", default="S", choices=["S", "B"])
     ap.add_argument("--drop-path", type=float, default=0.0)
     # parallelism
     ap.add_argument("--mesh", default=None,
@@ -174,11 +186,37 @@ def main():
         charbonnier_weight=args.charbonnier_weight,
         ssim_weight=args.ssim_weight,
         perceptual_weight=args.perceptual_weight,
+        tile_size=args.tile_size,
+        n_tiles=args.n_tiles,
         patch=args.patch,
-        ssim_grid=(grid_side, grid_side) if args.ssim_weight else None,
+        ssim_grid=(grid_side, grid_side)
+        if (args.ssim_weight or args.perceptual_weight)
+        else None,
     )
+
+    # DINO perceptual backbone (reference train_vae.py:254-259: frozen
+    # DINOPerceptual('S', tile_size) compiled alongside the model).
+    feature_fn = None
+    if args.perceptual_weight:
+        from vitok_tpu.models.vit_features import (
+            load_dino_backbone,
+            make_dino_feature_fn,
+        )
+
+        dino_params, dino_cfg = load_dino_backbone(
+            args.dino_weights or os.environ.get("VITOK_DINO_WEIGHTS"),
+            size=args.dino_size,
+        )
+        feature_fn = make_dino_feature_fn(
+            dino_params, dino_cfg, target_size=args.tile_size
+        )
+        if is_main:
+            src = args.dino_weights or os.environ.get("VITOK_DINO_WEIGHTS")
+            print(f"DINO perceptual: ViT-{args.dino_size} "
+                  f"({'weights=' + src if src else 'RANDOM INIT'})")
+
     train_step = make_train_step(
-        cfg, tx, loss_cfg, ema_decay=args.ema_decay
+        cfg, tx, loss_cfg, ema_decay=args.ema_decay, feature_fn=feature_fn
     )
 
     wandb_run = None

@@ -118,6 +118,88 @@ class TestLoss:
         )
 
 
+class TestPerceptualLoss:
+    """DINO perceptual term wired end-to-end (reference trains with
+    charbonnier 1.0 + SSIM 0.1 + DINO 500.0, train_vae.py:68-75)."""
+
+    def _feature_fn(self):
+        from vitok_tpu.models.vit_features import (
+            ViTCfg,
+            init_vit_params,
+            make_dino_feature_fn,
+        )
+
+        vcfg = ViTCfg(
+            width=32, depth=1, heads=2, patch=16, img_size=64, attn_impl="xla"
+        )
+        vparams = init_vit_params(vcfg, jax.random.key(7))
+        return make_dino_feature_fn(vparams, vcfg, target_size=64)
+
+    def test_all_three_terms_present_and_decreasing(self):
+        import optax
+
+        from vitok_tpu.train_lib import make_train_step
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        loss_cfg = LossConfig(
+            charbonnier_weight=1.0,
+            ssim_weight=0.1,
+            perceptual_weight=500.0,
+            tile_size=64,
+            n_tiles=1,
+            ssim_grid=(4, 4),
+        )
+        tx = create_optimizer(create_schedule("constant", 3e-4, 100))
+        state = create_train_state(params, tx)
+        step = make_train_step(
+            cfg, tx, loss_cfg,
+            feature_fn=self._feature_fn(),
+            compute_dtype=jnp.float32,
+            donate=False,
+        )
+        batch = make_batch(b=2, n=16, grid=(4, 4))
+        hist = []
+        for i in range(25):
+            state, metrics = step(state, batch, jax.random.key(2))
+            hist.append(
+                {k: float(metrics[k]) for k in (
+                    "loss/charbonnier", "loss/ssim", "loss/perceptual",
+                    "loss/total",
+                )}
+            )
+        first, last = hist[0], hist[-1]
+        assert float(first["loss/total"]) == pytest.approx(
+            first["loss/charbonnier"]
+            + 0.1 * first["loss/ssim"]
+            + 500.0 * first["loss/perceptual"],
+            rel=1e-4,
+        )
+        for k in ("loss/charbonnier", "loss/ssim", "loss/perceptual",
+                  "loss/total"):
+            assert last[k] < first[k], f"{k} did not decrease: {first} {last}"
+
+    def test_perceptual_without_ssim(self):
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=2, n=16, grid=(4, 4))
+        loss, metrics = compute_loss(
+            params, batch, cfg,
+            LossConfig(
+                ssim_weight=0.0,
+                perceptual_weight=1.0,
+                tile_size=64,
+                n_tiles=1,
+                ssim_grid=(4, 4),
+            ),
+            jax.random.key(0),
+            feature_fn=self._feature_fn(),
+            compute_dtype=jnp.float32,
+        )
+        assert "loss/perceptual" in metrics and "loss/ssim" not in metrics
+        assert np.isfinite(float(loss))
+
+
 class TestCheckpoint:
     def test_orbax_roundtrip(self, tmp_path):
         from vitok_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

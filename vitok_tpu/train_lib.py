@@ -211,7 +211,10 @@ def compute_loss(
     loss = loss_cfg.charbonnier_weight * l_char
     metrics = {"loss/charbonnier": l_char}
 
-    if loss_cfg.ssim_weight and loss_cfg.ssim_grid is not None:
+    want_tiles = loss_cfg.ssim_weight or (
+        loss_cfg.perceptual_weight and feature_fn is not None
+    )
+    if want_tiles and loss_cfg.ssim_grid is not None:
         gr, gc = loss_cfg.ssim_grid
         recon = unpatchify_dense_static(out, gr, gc, loss_cfg.patch)
         target = unpatchify_dense_static(batch, gr, gc, loss_cfg.patch)
@@ -230,9 +233,10 @@ def compute_loss(
         bt = tiles_r.shape[0] * tiles_r.shape[1]
         flat_r = tiles_r.reshape(bt, *tiles_r.shape[2:])
         flat_t = tiles_t.reshape(bt, *tiles_t.shape[2:])
-        l_ssim = ssim_loss(flat_r, flat_t)
-        loss = loss + loss_cfg.ssim_weight * l_ssim
-        metrics["loss/ssim"] = l_ssim
+        if loss_cfg.ssim_weight:
+            l_ssim = ssim_loss(flat_r, flat_t)
+            loss = loss + loss_cfg.ssim_weight * l_ssim
+            metrics["loss/ssim"] = l_ssim
 
         if loss_cfg.perceptual_weight and feature_fn is not None:
             from vitok_tpu.losses import perceptual_loss
