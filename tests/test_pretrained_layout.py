@@ -1,0 +1,224 @@
+"""Released-checkpoint layout, end-to-end, at the real 350M scale.
+
+The released HF artifacts are split ``encoder.safetensors`` /
+``decoder.safetensors`` files holding the torch reference AE's flat state
+dict (reference ``vitok/pretrained.py:7-20``; harness
+``tests/gpu/test_v2_comparison.py:39-72,571-589``). The zero-egress
+environment cannot download them, so this suite synthesizes a checkpoint
+directory with the EXACT released key layout from a random-weight torch
+reference model, then drives our full
+``load_pretrained → encode → decode → postprocess`` path against the torch
+oracle — at the real flagship config ``Ld4-Ld24/1x16x64`` (350M), including
+sliding-window and int8 variants.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_loader import load_reference_ae
+from tests.test_ae import make_batch
+
+torch = pytest.importorskip("torch")
+
+VARIANT_350M = "Ld4-Ld24/1x16x64"
+MODEL_350M = "350M-f16x64"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    mod = load_reference_ae()
+    if mod is None:
+        pytest.skip("reference not importable")
+    return mod
+
+
+@pytest.fixture(scope="module")
+def released_ckpt(ref, tmp_path_factory):
+    """Random-weight 350M reference model + a released-layout ckpt dir."""
+    from safetensors.torch import save_file
+
+    torch.manual_seed(0)
+    model = ref.AE(
+        **ref.decode_variant(VARIANT_350M), attn_backend="sdpa"
+    ).eval()
+
+    # The released files are the state dicts of encoder-only / decoder-only
+    # instantiations; split the full dict by those key sets.
+    enc_keys = set(
+        ref.AE(
+            **ref.decode_variant(VARIANT_350M), decoder=False,
+            attn_backend="sdpa",
+        ).state_dict()
+    )
+    dec_keys = set(
+        ref.AE(
+            **ref.decode_variant(VARIANT_350M), encoder=False,
+            attn_backend="sdpa",
+        ).state_dict()
+    )
+    state = model.state_dict()
+    assert set(state) == enc_keys | dec_keys
+
+    root = tmp_path_factory.mktemp("released")
+    d = root / MODEL_350M
+    d.mkdir()
+    save_file(
+        {k: v.contiguous() for k, v in state.items() if k in enc_keys},
+        str(d / "encoder.safetensors"),
+    )
+    save_file(
+        {k: v.contiguous() for k, v in state.items() if k in dec_keys},
+        str(d / "decoder.safetensors"),
+    )
+    return model, str(root)
+
+
+@pytest.fixture(scope="module")
+def loaded(released_ckpt, monkeypatch_module):
+    """(torch model, our cfg, our params) via the real load path."""
+    model, root = released_ckpt
+    monkeypatch_module.setenv("VITOK_PRETRAINED_DIR", root)
+    from vitok_tpu.pretrained import load_pretrained_params
+
+    cfg, params = load_pretrained_params(MODEL_350M)
+    cfg = type(cfg)(**{**cfg.__dict__, "attn_impl": "xla"})
+    return model, cfg, params
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def _torch_batch(batch):
+    tb = {k: torch.tensor(np.asarray(v)) for k, v in batch.items()}
+    tb["patch_mask"] = tb["patch_mask"].bool()
+    return tb
+
+
+class TestFullScaleParity:
+    def test_encode_decode_full_350m(self, loaded):
+        """Full-size load→encode→decode parity on valid tokens (<1e-4)."""
+        model, cfg, params = loaded
+        from vitok_tpu.models.ae import decode_apply, encode_apply
+
+        batch = make_batch(b=1, n=256, grid=(16, 16), valid=200)
+        with torch.no_grad():
+            ref_enc = model.encode(_torch_batch(batch))
+            ref_out = model.decode(ref_enc)
+        enc = encode_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        out = decode_apply(params, enc, cfg, compute_dtype=jnp.float32)
+        mask = np.asarray(batch["patch_mask"])
+        z_diff = np.abs(
+            np.asarray(enc["z"])[mask] - ref_enc["z"].numpy()[mask]
+        ).max()
+        p_diff = np.abs(
+            np.asarray(out["patches"])[mask] - ref_out["patches"].numpy()[mask]
+        ).max()
+        assert z_diff < 1e-4, f"latent diff {z_diff}"
+        assert p_diff < 1e-4, f"patch diff {p_diff}"
+
+    def test_sliding_window_full_350m(self, released_ckpt, ref):
+        """Same weights, sliding window on both sides."""
+        model, root = released_ckpt
+        from vitok_tpu.models.ae import forward_apply
+        from vitok_tpu.models import AEConfig
+        from vitok_tpu.utils.params_io import torch_state_to_pytree
+
+        sw = 8
+        torch.manual_seed(0)
+        ref_sw = ref.AE(
+            **ref.decode_variant(VARIANT_350M), attn_backend="sdpa", sw=sw
+        ).eval()
+        ref_sw.load_state_dict(model.state_dict())
+        cfg = AEConfig.from_variant(VARIANT_350M, attn_impl="xla", sw=sw)
+        params = torch_state_to_pytree(model.state_dict(), cfg)
+        batch = make_batch(b=1, n=256, grid=(16, 16))
+        with torch.no_grad():
+            ref_out = ref_sw(_torch_batch(batch))
+        out = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        diff = np.abs(
+            np.asarray(out["patches"]) - ref_out["patches"].numpy()
+        ).max()
+        # fp32 accumulation order differs across frameworks; at 24 decoder
+        # layers the honest bound is a few 1e-4 (reference harness treats
+        # <0.1 as pass, test_v2_comparison.py:577-583).
+        assert diff < 5e-4, f"sw patch diff {diff}"
+
+    def test_int8_quant_full_350m(self, loaded):
+        """int8-quantized full-size model stays close to fp32 (SSIM gate)."""
+        model, cfg, params = loaded
+        from vitok_tpu.models.ae import forward_apply
+        from vitok_tpu.ops.quant import quantize_block_params
+        from vitok_tpu.losses import ssim
+        from vitok_tpu.train_lib import unpatchify_dense_static
+
+        batch = make_batch(b=1, n=256, grid=(16, 16))
+        base = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        qparams = quantize_block_params(params)
+        qout = forward_apply(qparams, batch, cfg, compute_dtype=jnp.float32)
+        img_a = unpatchify_dense_static(base, 16, 16, 16)
+        img_b = unpatchify_dense_static(qout, 16, 16, 16)
+        # Random weights produce unbounded outputs; normalize to [-1, 1]-ish
+        scale = float(jnp.abs(img_a).max()) or 1.0
+        s = float(ssim(img_a / scale, img_b / scale))
+        assert s > 0.99, f"int8 SSIM {s}"
+
+    def test_postprocess_roundtrip_through_load_path(self, loaded):
+        """load → preprocess(image) → AE → postprocess returns orig size."""
+        model, cfg, params = loaded
+        from vitok_tpu.models.ae import forward_apply
+        from vitok_tpu.pp.io import postprocess, preprocess
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (200, 320, 3), dtype=np.uint8
+        )
+        batch = preprocess(
+            img, pp="to_tensor|normalize(minus_one_to_one)|patchify(16, 260)"
+        )
+        out = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        recon = postprocess(out, output_format="minus_one_to_one", do_unpack=True)
+        assert recon[0].shape == (3, 200, 320)
+        assert np.isfinite(recon[0]).all()
+
+    def test_compare_reference_script(self, released_ckpt):
+        """The offline golden-parity CLI runs green against the synthetic
+        released checkpoint (reference harness analog)."""
+        import json
+        import subprocess
+        import sys
+
+        _, root = released_ckpt
+        env = {
+            k: v for k, v in os.environ.items()
+            if k != "PALLAS_AXON_POOL_IPS"
+        }
+        env.update(
+            VITOK_PRETRAINED_DIR=root,
+            JAX_PLATFORMS="cpu",
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "scripts", "compare_reference.py"),
+                "--model", MODEL_350M,
+            ],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-3000:])
+        report = json.loads(proc.stdout[proc.stdout.index("{"):])
+        assert report["weights_pass"] and report["outputs_pass"], report
