@@ -62,6 +62,35 @@ class TestPipelineDecode:
             atol=2e-4,
         )
 
+    def test_memory_scales_with_stages(self):
+        """Per-chip activation (temp) memory must shrink ~1/S: inputs and
+        outputs are stored sharded, only O(1) microbatch buffers rotate."""
+        cfg, params, enc = _setup(depth=8, b=8)
+
+        def temp_bytes(stages):
+            mesh = create_mesh(
+                {PIPE_AXIS: stages}, devices=jax.devices()[:stages]
+            )
+            f = jax.jit(
+                lambda p, e: pipeline_parallel_decode(
+                    p, e, cfg, mesh,
+                    num_microbatches=8, compute_dtype=jnp.float32,
+                )
+            )
+            ma = f.lower(params, enc).compile().memory_analysis()
+            if ma is None:  # backend without memory stats
+                pytest.skip("memory_analysis unavailable")
+            return ma.temp_size_in_bytes
+
+        t2, t8 = temp_bytes(2), temp_bytes(8)
+        assert t8 < t2 / 2.5, (t2, t8)
+
+    def test_indivisible_microbatches_raises(self):
+        cfg, params, enc = _setup(depth=8, b=8)
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="round-robin"):
+            pipeline_parallel_decode(params, enc, cfg, mesh, num_microbatches=2)
+
     def test_indivisible_depth_raises(self):
         cfg, params, enc = _setup(depth=8)
         mesh = create_mesh({PIPE_AXIS: 3}, devices=jax.devices()[:3])
