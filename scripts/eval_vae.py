@@ -7,13 +7,19 @@ rFID/rFDD/SSIM/PSNR via MetricCalculator, and emits a JSON stats dict.
 
 TPU-native differences: split encoder/decoder run as two jitted XLA programs
 (the analog of the reference's two torch.compile'd AE halves,
-eval_vae.py:74-91), NaFlex token counts are bucketed so jit compiles a small
-fixed set of shapes, and timing is fenced by fetching a scalar computed
-inside the jitted decode (the reliable analog of cuda.synchronize).
+eval_vae.py:74-91); every batch has a static token shape — by default one
+``max_tokens`` pad, or with ``--buckets`` a small ladder of
+``serving.TokenBucketer`` buckets (heterogeneous sizes then compile at most
+``len(buckets)`` programs instead of padding everything to the largest);
+timing is fenced by fetching a scalar computed inside the jitted decode
+(the reliable analog of cuda.synchronize).
 
 Usage:
     python scripts/eval_vae.py --model 350M-f16x64 --data /path/to/imgs \
         --metrics ssim,psnr --max-size 256 --batch-size 8 --num-samples 64
+    # variable-size eval over static bucket shapes:
+    python scripts/eval_vae.py --model 350M-f16x64 --data ... \
+        --buckets 64,256,1024 --max-size 512
 """
 
 from __future__ import annotations
@@ -63,6 +69,10 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--num-samples", type=int, default=None)
+    ap.add_argument("--buckets", default=None,
+                    help="comma list of token buckets (e.g. 64,256,1024): "
+                    "images are padded to the smallest fitting bucket, so "
+                    "variable sizes compile at most len(buckets) programs")
     ap.add_argument("--swa-window", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--output", default=None, help="JSON output path")
@@ -133,13 +143,40 @@ def main():
         metrics=metric_names, fid_feature_fn=fid_fn, fdd_feature_fn=fdd_fn
     )
 
-    pp = build_pp(args, cfg.spatial_stride)
-    loader = create_dataloader(
-        args.data, pp,
-        batch_size=args.batch_size,
-        seed=args.seed,
-        num_samples=args.num_samples,
-    )
+    if args.buckets:
+        import itertools
+
+        from vitok_tpu.data.loaders import iter_samples
+        from vitok_tpu.pp.registry import build_transform
+        from vitok_tpu.serving import TokenBucketer
+
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+        prefix = (
+            f"center_crop({args.max_size})" if args.pp_mode == "adm_center"
+            else f"resize_longest_side({args.max_size})"
+        )
+        prefix_fn = build_transform(prefix)
+        bucketer = TokenBucketer(patch=cfg.spatial_stride, buckets=buckets)
+        images = (
+            prefix_fn(img)
+            for img, _ in itertools.islice(
+                iter_samples(args.data, seed=args.seed), args.num_samples
+            )
+        )
+        pp = f"{prefix}|<bucketed {buckets}>"
+        loader = (
+            batch for _, batch in bucketer.batch_stream(
+                images, batch_size=args.batch_size
+            )
+        )
+    else:
+        pp = build_pp(args, cfg.spatial_stride)
+        loader = create_dataloader(
+            args.data, pp,
+            batch_size=args.batch_size,
+            seed=args.seed,
+            num_samples=args.num_samples,
+        )
 
     # --- loop ------------------------------------------------------------
     n_images = 0

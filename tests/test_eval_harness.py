@@ -1,0 +1,74 @@
+"""scripts/eval_vae.py end-to-end on a tiny folder (CPU, random weights).
+
+Covers the harness contract: JSON stats emitted, SSIM/PSNR present, and the
+``--buckets`` path (serving.TokenBucketer integration) groups heterogeneous
+sizes into static bucket shapes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    # Heterogeneous sizes so bucketing actually has several buckets to use.
+    for i, (h, w) in enumerate([(48, 48), (48, 48), (96, 64), (128, 128)]):
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+    return str(d)
+
+
+def run_eval(image_folder, tmp_path, *extra):
+    out_json = tmp_path / "stats.json"
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+    }
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "eval_vae.py"),
+            "--model", "Td4-Td4/1x4x8",
+            "--data", image_folder,
+            "--random-weights",
+            "--metrics", "ssim,psnr",
+            "--batch-size", "2",
+            "--max-size", "128",
+            "--output", str(out_json),
+            *extra,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out_json) as f:
+        return json.load(f)
+
+
+class TestEvalHarness:
+    def test_static_shape_path(self, image_folder, tmp_path):
+        stats = run_eval(image_folder, tmp_path)
+        assert stats["n_images"] == 4
+        assert 0.0 <= stats["ssim"] <= 1.0
+        assert np.isfinite(stats["psnr"])
+        assert stats["throughput_img_per_sec"] > 0
+
+    def test_bucketed_path(self, image_folder, tmp_path):
+        stats = run_eval(
+            image_folder, tmp_path, "--buckets", "16,36,64"
+        )
+        assert stats["n_images"] == 4
+        assert "bucketed" in stats["pp"]
+        assert 0.0 <= stats["ssim"] <= 1.0
+        assert np.isfinite(stats["psnr"])

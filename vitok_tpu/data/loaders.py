@@ -362,6 +362,31 @@ class PrefetchingLoader:
                 pass
 
 
+def iter_samples(
+    source: str,
+    seed: int = 0,
+    rank: int = 0,
+    world: int = 1,
+    repeat: bool = False,
+    shuffle_buffer: int = 250,
+    min_size: int = 0,
+) -> Iterator[Tuple["Image.Image", int]]:
+    """Raw ``(PIL image, label)`` stream for any supported source form.
+
+    Same auto-detection and rank-striding as ``create_dataloader``, without
+    the pp/collate stage — the entry point for callers that do their own
+    batching (e.g. ``serving.TokenBucketer.batch_stream``).
+    """
+    if source in HF_DATASETS:
+        # Disjoint multi-host split happens at the dataset-shard level
+        # inside _iter_hf_streaming (same contract as folder/tar paths).
+        return _iter_hf_streaming(source, seed, None, rank, world)
+    if os.path.isdir(source):
+        return _iter_image_folder(source, rank, world, seed, repeat)
+    urls = resolve_source(source, rank, world, seed)
+    return _iter_tar_shards(urls, seed + rank, shuffle_buffer, repeat, min_size)
+
+
 def create_dataloader(
     source: str,
     pp: str,
@@ -400,14 +425,10 @@ def create_dataloader(
         tail = "python"
 
     def sample_iter() -> Iterator[Tuple["Image.Image", int]]:
-        if source in HF_DATASETS:
-            # Disjoint multi-host split happens at the dataset-shard level
-            # inside _iter_hf_streaming (same contract as folder/tar paths).
-            return _iter_hf_streaming(source, seed, None, rank, world)
-        if os.path.isdir(source):
-            return _iter_image_folder(source, rank, world, seed, repeat)
-        urls = resolve_source(source, rank, world, seed)
-        return _iter_tar_shards(urls, seed + rank, shuffle_buffer, repeat, min_size)
+        return iter_samples(
+            source, seed=seed, rank=rank, world=world, repeat=repeat,
+            shuffle_buffer=shuffle_buffer, min_size=min_size,
+        )
 
     def _emit(batch, labels):
         if tail is None:
