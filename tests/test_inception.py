@@ -1,0 +1,136 @@
+"""JAX FID-Inception vs an independent torch mirror (shared topology table).
+
+pytorch_fid is not installable here, so the oracle is a torch-functional
+re-execution of ``INCEPTION_LAYOUT`` with *unfused* BatchNorm — validating
+conv stride/padding semantics, count_include_pad=False average pools, the
+FIDInceptionE_2 max-pool patch, BN folding (eps 1e-3) and the NCHW<->NHWC
+interchange, with shared random weights in pytorch_fid naming. When real
+``pt_inception-2015-12-05`` weights are present the same loader makes the
+features bit-comparable to pytorch_fid.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from vitok_tpu.models.inception import (
+    INCEPTION_LAYOUT,
+    POOL_DIM,
+    _infer_in_channels,
+    _iter_convs,
+    inception_apply,
+    torch_inception_state_to_pytree,
+)
+
+BN_EPS = 1e-3
+
+
+def make_random_state(seed=0):
+    """Random weights in pytorch_fid/torchvision state_dict naming."""
+    rng = np.random.default_rng(seed)
+    chans = _infer_in_channels()
+    state = {}
+    for pname, spec in _iter_convs():
+        _, _, out_ch, (kh, kw), _, _ = spec
+        cin = chans[pname]
+        state[f"{pname}.conv.weight"] = (
+            rng.standard_normal((out_ch, cin, kh, kw))
+            * (1.0 / np.sqrt(kh * kw * cin))
+        ).astype(np.float32)
+        state[f"{pname}.bn.weight"] = rng.uniform(0.5, 1.5, out_ch).astype(np.float32)
+        state[f"{pname}.bn.bias"] = rng.standard_normal(out_ch).astype(np.float32) * 0.1
+        state[f"{pname}.bn.running_mean"] = rng.standard_normal(out_ch).astype(np.float32) * 0.1
+        state[f"{pname}.bn.running_var"] = rng.uniform(0.5, 2.0, out_ch).astype(np.float32)
+    return state
+
+
+def torch_mirror_forward(state, images: np.ndarray) -> np.ndarray:
+    """Execute INCEPTION_LAYOUT in torch with unfused BN (the oracle)."""
+    import torch.nn.functional as F
+
+    t = {k: torch.tensor(v) for k, v in state.items()}
+
+    def conv_bn_relu(x, pname, spec):
+        _, _, _, _, (sh, sw), (ph, pw) = spec
+        y = F.conv2d(x, t[f"{pname}.conv.weight"], None, (sh, sw), (ph, pw))
+        y = F.batch_norm(
+            y,
+            t[f"{pname}.bn.running_mean"], t[f"{pname}.bn.running_var"],
+            t[f"{pname}.bn.weight"], t[f"{pname}.bn.bias"],
+            training=False, eps=BN_EPS,
+        )
+        return F.relu(y)
+
+    def apply_unit(x, prefix, unit):
+        if unit[0] == "conv":
+            name = f"{prefix}.{unit[1]}" if prefix else unit[1]
+            return conv_bn_relu(x, name, unit)
+        if unit[0] == "maxpool":
+            k, s, p = unit[1]
+            return F.max_pool2d(x, k, s, p)
+        if unit[0] == "avgpool_nip":
+            k, s, p = unit[1]
+            return F.avg_pool2d(x, k, s, p, count_include_pad=False)
+        if unit[0] == "fork":
+            outs = []
+            for tail in unit[1:]:
+                y = x
+                for u in tail:
+                    y = apply_unit(y, prefix, u)
+                outs.append(y)
+            return torch.cat(outs, dim=1)
+        raise ValueError(unit[0])
+
+    x = torch.tensor(images)
+    with torch.no_grad():
+        for kind, name, payload in INCEPTION_LAYOUT:
+            if kind == "conv":
+                x = conv_bn_relu(x, name, payload)
+            elif kind == "maxpool":
+                k, s, p = payload
+                x = F.max_pool2d(x, k, s, p)
+            elif kind == "block":
+                outs = []
+                for branch in payload:
+                    y = x
+                    for unit in branch:
+                        y = apply_unit(y, name, unit)
+                    outs.append(y)
+                x = torch.cat(outs, dim=1)
+        feats = x.mean(dim=(2, 3))
+    return feats.numpy()
+
+
+class TestInceptionParity:
+    @pytest.mark.parametrize("size", [299, 75])
+    def test_matches_torch_mirror(self, size):
+        state = make_random_state()
+        params = torch_inception_state_to_pytree(state)
+        rng = np.random.default_rng(1)
+        imgs = rng.uniform(0.0, 1.0, (2, 3, size, size)).astype(np.float32)
+
+        ref = torch_mirror_forward(state, imgs)
+        got = np.asarray(inception_apply(params, jnp.asarray(imgs)))
+        assert got.shape == (2, POOL_DIM)
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+    def test_fid_e2_maxpool_patch_applied(self):
+        """Mixed_7c's pool branch must be a max pool (pytorch_fid patch)."""
+        blocks = {name: payload for kind, name, payload in INCEPTION_LAYOUT
+                  if kind == "block"}
+        assert blocks["Mixed_7b"][3][0][0] == "avgpool_nip"
+        assert blocks["Mixed_7c"][3][0][0] == "maxpool"
+
+    def test_feature_fn_pipeline(self):
+        """eval_features.inception_feature_fn runs the JAX port end-to-end."""
+        from vitok_tpu.eval_features import inception_feature_fn
+
+        fn = inception_feature_fn(weights=None, _suppress_warning=True)
+        imgs = [jnp.zeros((3, 64, 48)), jnp.ones((3, 32, 32)) * 0.5]
+        feats = fn(imgs)
+        assert feats.shape == (2, POOL_DIM)
+        assert np.isfinite(feats).all()

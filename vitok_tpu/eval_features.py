@@ -1,23 +1,30 @@
-"""FID/FDD feature extractors (pluggable backbones).
+"""FID/FDD feature extractors (reference-contract backbones, TPU-native).
 
-The reference hard-wires pytorch_fid's CUDA InceptionV3 (pool 2048 @ 299²)
-and an external DINO model (512² features) — ``vitok/metrics.py:140-150``.
-Here extractors are factory functions returning jit-able callables mapping a
-list of ``[C, H, W]`` images in [-1, 1] to ``[B, F]`` numpy features, so any
-local backbone can drive rFID/rFDD. Provided factories:
+The reference hard-wires pytorch_fid's InceptionV3 (pool 2048 @ 299², fed
+[0, 1] images with ``normalize_input=False``) for rFID and
+``dino_perceptual.DINOModel(model_size='B', target_size=512)`` for rFDD —
+``/root/reference/vitok/metrics.py:139-150,223-263``. Both contracts are
+reproduced here with pure-JAX backbones so the extractors run on TPU:
 
-* ``inception_feature_fn`` — torchvision/pytorch_fid InceptionV3 on the host
-  (CPU), when those packages + weights are available,
-* ``dino_feature_fn`` — a HF ``transformers`` DINO(v2) backbone when weights
-  are cached locally,
+* ``inception_feature_fn`` — ``vitok_tpu.models.inception`` (the FID
+  variant: count_include_pad=False avg pools, E_2 max-pool patch, BN
+  folded), bicubic-resized to 299², clamped, mapped to [0, 1],
+* ``dino_feature_fn`` — DINO ViT-B/16 CLS features at 512² via
+  ``vitok_tpu.models.vit_features`` (the same backbone family the trainer's
+  perceptual loss uses), bicubic-resized, clamped, ImageNet-normalized,
 * ``random_projection_feature_fn`` — deterministic random projection;
-  weight-free, useful for pipeline tests and relative comparisons (NOT
-  comparable to published rFID numbers).
+  weight-free, useful for pipeline tests and relative comparisons.
+
+Weights load from local files (``VITOK_INCEPTION_WEIGHTS`` /
+``VITOK_DINO_WEIGHTS`` or explicit paths); random init runs the full
+pipeline with a loud warning (relative numbers only — NOT comparable to
+published rFID/rFDD).
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+import os
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
@@ -28,16 +35,18 @@ Array = jax.Array
 FeatureFn = Callable[[Sequence[Array]], np.ndarray]
 
 
-def _resize_batch(images: Sequence[Array], size: int) -> np.ndarray:
-    """Host-side bilinear resize + stack to [B, C, size, size] in [-1, 1]."""
+def _resize_batch(
+    images: Sequence[Array], size: int, method: str = "bicubic"
+) -> jnp.ndarray:
+    """Per-image resize + stack to [B, C, size, size], clamped to [-1, 1]
+    (the reference resizes bicubic-antialias then clamps,
+    metrics.py:225-258)."""
     out = []
     for img in images:
         x = jnp.asarray(img, jnp.float32)[None]
-        x = jax.image.resize(
-            x, (1, x.shape[1], size, size), method="bilinear"
-        )
-        out.append(np.asarray(x[0]))
-    return np.stack(out)
+        x = jax.image.resize(x, (1, x.shape[1], size, size), method=method)
+        out.append(x[0])
+    return jnp.clip(jnp.stack(out), -1.0, 1.0)
 
 
 def random_projection_feature_fn(
@@ -50,56 +59,68 @@ def random_projection_feature_fn(
     )
 
     def fn(images: Sequence[Array]) -> np.ndarray:
-        batch = _resize_batch(images, size)
+        batch = np.asarray(_resize_batch(images, size, method="bilinear"))
         return batch.reshape(batch.shape[0], -1) @ proj
 
     return fn
 
 
-def inception_feature_fn(size: int = 299) -> FeatureFn:
-    """pytorch_fid-compatible InceptionV3 pool-2048 features (torch CPU)."""
-    try:
-        import torch
-        from pytorch_fid.inception import InceptionV3  # type: ignore
-    except ImportError as e:
-        raise RuntimeError(
-            "rFID parity requires pytorch_fid + torchvision weights; install "
-            "them or plug a custom fid_feature_fn into MetricCalculator"
-        ) from e
+def inception_feature_fn(
+    weights: Optional[str] = None,
+    size: int = 299,
+    _suppress_warning: bool = False,
+) -> FeatureFn:
+    """pytorch_fid-contract InceptionV3 pool-2048 features (pure JAX).
 
-    model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[2048]]).eval()
+    ``weights``: pytorch_fid ``pt_inception-2015-12-05`` state-dict path
+    (also read from ``VITOK_INCEPTION_WEIGHTS``). Feed: 299² bicubic,
+    clamp, [0, 1], no normalization (reference metrics.py:139-146,235-239).
+    """
+    from vitok_tpu.models.inception import inception_apply, load_inception
+
+    weights = weights or os.environ.get("VITOK_INCEPTION_WEIGHTS")
+    if weights is None and _suppress_warning:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            params, _ = load_inception(None)
+    else:
+        params, _ = load_inception(weights)
+    apply = jax.jit(lambda imgs: inception_apply(params, imgs))
 
     def fn(images: Sequence[Array]) -> np.ndarray:
         batch = _resize_batch(images, size)
-        # pytorch_fid expects [0, 1]
-        t = torch.tensor((batch + 1.0) / 2.0)
-        with torch.no_grad():
-            feats = model(t)[0].squeeze(-1).squeeze(-1)
-        return feats.numpy()
+        batch = (batch + 1.0) / 2.0  # [0, 1], reference feed
+        return np.asarray(apply(batch))
 
     return fn
 
 
 def dino_feature_fn(
-    model_name: str = "facebook/dinov2-small", size: int = 518
+    weights: Optional[str] = None,
+    size: int = 512,
+    model_size: str = "B",
 ) -> FeatureFn:
-    """DINO(v2) CLS features via HF transformers (FDD backbone)."""
-    try:
-        import torch
-        from transformers import AutoModel
-    except ImportError as e:
-        raise RuntimeError("FDD requires transformers + torch") from e
+    """Reference-contract FDD features: DINO ViT-B/16 CLS @ 512² (pure JAX).
 
-    model = AutoModel.from_pretrained(model_name).eval()
-    mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
-    std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+    Mirrors ``DINOModel(model_size='B', target_size=512)``
+    (reference metrics.py:149, 248-263): bicubic resize to 512², clamp,
+    ImageNet-normalize, CLS token of the final layer.
+    """
+    from vitok_tpu.models.vit_features import (
+        load_dino_backbone,
+        make_dino_feature_fn,
+    )
+
+    weights = weights or os.environ.get("VITOK_DINO_WEIGHTS")
+    params, cfg = load_dino_backbone(weights, size=model_size)
+    feat = jax.jit(make_dino_feature_fn(params, cfg, target_size=None))
 
     def fn(images: Sequence[Array]) -> np.ndarray:
         batch = _resize_batch(images, size)
-        batch = ((batch + 1.0) / 2.0 - mean) / std
-        with torch.no_grad():
-            out = model(pixel_values=torch.tensor(batch))
-        return out.pooler_output.numpy()
+        tokens = feat(batch)
+        return np.asarray(tokens[:, 0])  # CLS
 
     return fn
 
