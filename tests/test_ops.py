@@ -125,6 +125,32 @@ class TestRoPE:
         np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), atol=1e-5)
         np.testing.assert_allclose(np.asarray(k_j), k_t.numpy(), atol=1e-5)
 
+    def test_half_convention_is_permuted_interleaved(self):
+        """rotate_half(x[perm]) == rotate_interleaved(x)[perm] — the load-time
+        q/k channel permutation makes the two conventions exactly equivalent
+        (so attention logits are unchanged)."""
+        from vitok_tpu.ops.rope import rope_half_permutation
+
+        d = 64
+        rng = jax.random.key(3)
+        q = jax.random.normal(rng, (2, 8, 2, d))
+        k = jax.random.normal(jax.random.key(4), (2, 8, 2, d))
+        row = jnp.tile(jnp.arange(8)[None], (2, 1)).astype(jnp.float32)
+        col = row[:, ::-1]
+        cos, sin = compute_2d_freqs_cis(row, col, d)
+
+        perm = rope_half_permutation(d)
+        qi, ki = apply_rotary_emb(q, k, cos, sin)  # interleaved
+        qh, kh = apply_rotary_emb(
+            q[..., perm], k[..., perm], cos, sin, convention="half"
+        )
+        np.testing.assert_allclose(
+            np.asarray(qh), np.asarray(qi)[..., perm], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(kh), np.asarray(ki)[..., perm], atol=1e-6
+        )
+
 
 # ---------------------------------------------------------------------------
 # Norms

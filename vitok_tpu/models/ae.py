@@ -356,7 +356,11 @@ def _block_body(
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
     k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
-    q, k = apply_rotary_emb(q, k, rope[0], rope[1])
+    # Params store q/k channels in rotate-half order (converted at load
+    # time by utils/params_io.py) so the rotation needs no lane shuffles —
+    # the interleaved form profiled at ~45% of GEMM time on the 5B int8
+    # forward. Numerically identical to the reference convention.
+    q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
     attn = dot_product_attention(
         q, k, v,
         patch_mask=patch_mask,

@@ -205,7 +205,9 @@ def _dit_block(x, blk, cond, rope, *, num_heads, attn_impl):
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
     k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
-    q, k = apply_rotary_emb(q, k, rope[0], rope[1])
+    # Rotate-half convention (no lane shuffles). DiT checkpoints are
+    # produced by this trainer, so no layout conversion is needed.
+    q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
     attn = dot_product_attention(q, k, v, impl=attn_impl).reshape(b, n, c)
     attn = _linear(attn, blk["attn"]["out"])
 

@@ -107,17 +107,47 @@ def compute_2d_freqs_cis(
     )
 
 
+def rope_half_permutation(head_dim: int):
+    """Channel permutation mapping interleaved RoPE layout to split-half.
+
+    ``perm[i]`` is the interleaved-layout channel that lands at half-layout
+    position ``i``: reals ``(0, 2, 4, ...)`` first, imaginaries
+    ``(1, 3, 5, ...)`` second. Applying this permutation to the q/k
+    projection output channels (weights, biases, per-channel QK-norm
+    scales) converts a checkpoint to the ``convention="half"`` rotation,
+    which avoids lane interleaving on TPU. Attention is exactly invariant
+    to the re-ordering because q and k permute identically.
+    """
+    import numpy as np
+
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
 def apply_rotary_emb(
     xq: Array,
     xk: Array,
     freqs_cos: Array,
     freqs_sin: Array,
+    convention: str = "interleaved",
 ) -> Tuple[Array, Array]:
     """Rotate query/key tensors by precomputed cos/sin tables.
 
-    Interleaved convention: lanes ``(2i, 2i+1)`` form the complex pair rotated
-    by frequency ``i``. The rotation runs in the input dtype (bf16-safe); the
-    tables should have been computed in float32.
+    Conventions:
+
+    * ``"interleaved"`` — lanes ``(2i, 2i+1)`` form the complex pair rotated
+      by frequency ``i``, matching reference ``apply_rotary_emb``
+      (rotary_embedding.py:101-129). Deinterleaving the minor (lane) axis
+      is expensive on TPU — profiled at ~45% of GEMM time on the 5B int8
+      forward — so the model path uses:
+    * ``"half"`` — channel ``i`` pairs with ``i + D/2`` (rotate-half, the
+      GPT-NeoX/LLaMA-JAX layout): two contiguous half-width slices, no lane
+      shuffles. Checkpoints convert via ``rope_half_permutation`` at load
+      time (``utils/params_io.py``), keeping exact numerical parity.
+
+    The rotation runs in the input dtype (bf16-safe); the tables should
+    have been computed in float32.
 
     Args:
         xq, xk: ``[B, N, H, D]`` (or any layout with trailing head dim D and a
@@ -129,7 +159,7 @@ def apply_rotary_emb(
     """
     dtype = xq.dtype
 
-    def _rotate(x: Array) -> Array:
+    def _rotate_interleaved(x: Array) -> Array:
         pairs = x.reshape(*x.shape[:-1], -1, 2)
         xr, xi = pairs[..., 0], pairs[..., 1]
         cos, sin = _broadcast_tables(freqs_cos, freqs_sin, xr)
@@ -137,9 +167,21 @@ def apply_rotary_emb(
         out_i = xr * sin + xi * cos
         return jnp.stack([out_r, out_i], axis=-1).reshape(x.shape)
 
+    def _rotate_half(x: Array) -> Array:
+        d2 = x.shape[-1] // 2
+        xr, xi = x[..., :d2], x[..., d2:]
+        cos, sin = _broadcast_tables(freqs_cos, freqs_sin, xr)
+        return jnp.concatenate(
+            [xr * cos - xi * sin, xr * sin + xi * cos], axis=-1
+        )
+
     cast = lambda a: a.astype(dtype)
     freqs_cos, freqs_sin = cast(freqs_cos), cast(freqs_sin)
-    return _rotate(xq), _rotate(xk)
+    if convention == "half":
+        return _rotate_half(xq), _rotate_half(xk)
+    if convention != "interleaved":
+        raise ValueError(f"Unknown RoPE convention: {convention!r}")
+    return _rotate_interleaved(xq), _rotate_interleaved(xk)
 
 
 def _broadcast_tables(cos: Array, sin: Array, xr: Array) -> Tuple[Array, Array]:
@@ -171,4 +213,5 @@ __all__ = [
     "compute_freqs_cis",
     "compute_2d_freqs_cis",
     "apply_rotary_emb",
+    "rope_half_permutation",
 ]

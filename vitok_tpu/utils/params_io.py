@@ -9,6 +9,13 @@ per-depth pytrees (scan layout), with Linear kernels input-major
 
 This module converts both ways so released HF checkpoints load bit-exactly
 and our checkpoints can be exported back for torch users.
+
+One deliberate re-ordering: q/k projection output channels (and the
+per-channel QK-norm scales) are permuted from the reference's interleaved
+RoPE layout to rotate-half order (``ops.rope.rope_half_permutation``) on
+import, and back on export. Attention is exactly invariant to the
+permutation; it lets the model rotate q/k with two contiguous half-slices
+instead of TPU-hostile lane deinterleaves.
 """
 
 from __future__ import annotations
@@ -70,6 +77,29 @@ def _to_numpy(v) -> np.ndarray:
     return np.asarray(v)
 
 
+def _qk_rope_perm(head_dim: int, inverse: bool = False) -> np.ndarray:
+    from vitok_tpu.ops.rope import rope_half_permutation
+
+    perm = rope_half_permutation(head_dim)
+    return np.argsort(perm) if inverse else perm
+
+
+def _permute_qkv_kernel(arr: np.ndarray, head_dim: int, inverse: bool) -> np.ndarray:
+    """Permute q/k output channels of a stacked qkv kernel [..., in, 3W]."""
+    *lead, fan_in, out = arr.shape
+    width = out // 3
+    heads = width // head_dim
+    perm = _qk_rope_perm(head_dim, inverse)
+    a = arr.reshape(*lead, fan_in, 3, heads, head_dim)
+    qk = np.take(a[..., :2, :, :], perm, axis=-1)
+    return np.concatenate([qk, a[..., 2:, :, :]], axis=-3).reshape(arr.shape)
+
+
+def _permute_qk_scale(arr: np.ndarray, inverse: bool) -> np.ndarray:
+    """Permute a stacked per-channel QK-norm scale [..., head_dim]."""
+    return np.take(arr, _qk_rope_perm(arr.shape[-1], inverse), axis=-1)
+
+
 def torch_state_to_pytree(
     state: Mapping[str, Any],
     cfg: Optional[AEConfig] = None,
@@ -118,6 +148,17 @@ def torch_state_to_pytree(
                     arr = arr.T
                 layers.append(arr.astype(dtype))
             _set_path(stack, path, np.stack(layers))
+        # Interleaved -> rotate-half q/k channel order (see module docstring).
+        attn = stack.get("attn", {})
+        if "norm_q" in attn and "qkv" in attn:
+            hd = attn["norm_q"]["scale"].shape[-1]
+            attn["qkv"]["kernel"] = _permute_qkv_kernel(
+                attn["qkv"]["kernel"], hd, inverse=False
+            )
+            for nm in ("norm_q", "norm_k"):
+                attn[nm]["scale"] = _permute_qk_scale(
+                    attn[nm]["scale"], inverse=False
+                )
         params[stack_name] = stack
 
     if not params:
@@ -140,11 +181,23 @@ def pytree_to_torch_state(params: Params) -> Dict[str, np.ndarray]:
         if stack_name not in params:
             continue
         stack = params[stack_name]
+        attn = stack.get("attn", {})
+        hd = (
+            np.asarray(attn["norm_q"]["scale"]).shape[-1]
+            if "norm_q" in attn and "qkv" in attn
+            else None
+        )
         for suffix, path, transpose in _BLOCK_ENTRIES:
             try:
                 arr = np.asarray(_get_path(stack, path))
             except KeyError:
                 continue
+            # Rotate-half -> reference interleaved q/k channel order.
+            if hd is not None:
+                if path == ("attn", "qkv", "kernel"):
+                    arr = _permute_qkv_kernel(arr, hd, inverse=True)
+                elif path in (("attn", "norm_q", "scale"), ("attn", "norm_k", "scale")):
+                    arr = _permute_qk_scale(arr, inverse=True)
             for i in range(arr.shape[0]):
                 layer = arr[i].T if transpose else arr[i]
                 state[f"{stack_name}.{i}.{suffix}"] = layer
