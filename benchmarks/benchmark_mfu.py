@@ -71,18 +71,98 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
     }
 
 
+def run_train(variant: str, n_tokens: int, batch: int, iters: int,
+              checkpoint: int, moment_dtype, optimizer: str = "adamw"):
+    """Full train-step MFU: loss + grads + AdamW/Muon update, chained
+    in-jit (lax.scan over steps) so tunnel RTT doesn't pollute timing."""
+    import dataclasses
+
+    from bench import make_batch
+    from vitok_tpu.models import AEConfig, init_params
+    from vitok_tpu.train_lib import (
+        LossConfig,
+        create_optimizer,
+        create_schedule,
+        create_train_state,
+        make_train_step,
+    )
+    from vitok_tpu.utils.profiling import PEAK_FLOPS, flops_of
+
+    cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
+    cfg = dataclasses.replace(cfg, checkpoint=checkpoint)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = create_optimizer(
+        create_schedule("constant", 1e-4, 1000, 0.0),
+        optimizer=optimizer, moment_dtype=moment_dtype,
+    )
+    state = create_train_state(params, tx, ema=True)
+    side = int(np.sqrt(n_tokens))
+    data = make_batch(batch, n_tokens, (side, side), cfg.pixels_per_token)
+    step = make_train_step(cfg, tx, LossConfig(), donate=False)
+    rng = jax.random.key(1)
+
+    def chained(state_, d, n):
+        def body(carry, i):
+            st = carry
+            d2 = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
+            st, metrics = step(st, d2, rng)  # jit-in-jit inlines
+            return st, metrics["loss/total"]
+        st, losses = jax.lax.scan(body, state_, jnp.arange(n))
+        return jnp.sum(losses)
+
+    # The chained jit returns only a scalar, so the input state must be
+    # donated or the harness itself doubles state memory.
+    def chained_n(s, d):
+        return chained(s, d, iters)
+
+    many = jax.jit(chained_n, donate_argnums=(0,))
+    cost = flops_of(lambda s, d: chained(s, d, 1), state, data)
+    float(many(jax.tree_util.tree_map(jnp.copy, state), data))  # compile
+    t0 = time.perf_counter()
+    float(many(state, data))
+    dt = (time.perf_counter() - t0) / iters
+    eff = cost["flops"] / dt
+    return {
+        "variant": variant, "mode": "train", "tokens": n_tokens,
+        "batch": batch, "checkpoint": checkpoint,
+        "optimizer": optimizer,
+        "moment_dtype": str(moment_dtype.__name__) if moment_dtype else "f32",
+        "ms_per_step": dt * 1e3,
+        "img_per_s": batch / dt,
+        "xla_flops_per_step": cost["flops"],
+        "effective_tflops": eff / 1e12,
+        "mfu_vs_v5e_bf16": eff / PEAK_FLOPS["v5e"],
+        "n_params": n_params,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="tiny")
     ap.add_argument("--tokens", default="256")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the full train step instead of forward")
+    ap.add_argument("--checkpoint", type=int, default=0,
+                    help="remat granularity for --train (0 = no remat)")
+    ap.add_argument("--optimizer", default="adamw")
+    ap.add_argument("--moment-dtype", default=None, choices=[None, "bf16"])
     args = ap.parse_args()
     for v in args.variants.split(","):
         for t in args.tokens.split(","):
-            r = run_one(v.strip(), int(t), args.batch, args.iters)
+            if args.train:
+                r = run_train(
+                    v.strip(), int(t), args.batch, args.iters,
+                    args.checkpoint,
+                    jnp.bfloat16 if args.moment_dtype == "bf16" else None,
+                    args.optimizer,
+                )
+            else:
+                r = run_one(v.strip(), int(t), args.batch, args.iters)
             print(json.dumps({k: (round(x, 4) if isinstance(x, float) else x)
-                              for k, x in r.items()}))
+                              for k, x in r.items()}), flush=True)
 
 
 if __name__ == "__main__":

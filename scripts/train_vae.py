@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--optimizer", default="adamw", choices=["adamw", "muon"])
     ap.add_argument("--momentum", type=float, default=0.95,
                     help="muon momentum (reference default)")
+    ap.add_argument("--moment-dtype", default=None, choices=[None, "bf16"],
+                    help="store AdamW's first moment in bf16 (less optimizer "
+                    "HBM traffic per step; nu stays fp32)")
     ap.add_argument("--ema-decay", type=float, default=0.999)
     ap.add_argument("--no-ema", action="store_true")
     # losses (reference defaults train_vae.py:68-75)
@@ -155,6 +158,7 @@ def main():
         schedule, weight_decay=args.wd, b1=args.b1, b2=args.b2,
         grad_clip=args.grad_clip, optimizer=args.optimizer,
         momentum=args.momentum,
+        moment_dtype=jnp.bfloat16 if args.moment_dtype == "bf16" else None,
     )
     state = create_train_state(params, tx, ema=not args.no_ema)
     state = place_on_mesh(state, mesh)

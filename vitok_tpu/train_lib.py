@@ -100,12 +100,18 @@ def create_optimizer(
     grad_clip: float = 1.0,
     optimizer: str = "adamw",
     momentum: float = 0.95,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """AdamW (decay/no-decay groups) or Muon, with global-norm clipping.
 
     Mirrors the reference's ``--optimizer {adamw,muon}`` choice
     (train_vae.py:62, 196-208); Muon is the TPU-native implementation in
     ``vitok_tpu.muon``.
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores AdamW's first moment in
+    reduced precision — noise-level impact on updates (momentum is a long
+    EMA), but it cuts optimizer-state HBM traffic per step. The second
+    moment stays fp32 (rsqrt of tiny values is precision-sensitive).
     """
     if optimizer == "muon":
         from vitok_tpu.muon import muon
@@ -118,6 +124,7 @@ def create_optimizer(
             b2=b2,
             weight_decay=weight_decay,
             mask=_decay_mask,
+            mu_dtype=moment_dtype,
         )
     else:
         raise ValueError(f"Unknown optimizer: {optimizer}")
