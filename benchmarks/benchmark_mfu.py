@@ -3,7 +3,8 @@
 The reference README advertises a ``benchmarks/benchmark_mfu.py`` that was
 never shipped (SURVEY.md §2.11 — its MFU math lives inline in the trainer).
 This is a real one: forward (and optional train-step) MFU for a variant
-sweep, using XLA cost analysis for exact FLOPs and scalar-fetch fencing.
+sweep, using analytic model FLOPs (2/6 x params x tokens; XLA cost
+analysis undercounts lax.scan bodies depth-fold) and scalar-fetch fencing.
 
     python benchmarks/benchmark_mfu.py --variants 350M,5B --tokens 256,1024
 """
@@ -33,7 +34,7 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
     from bench import make_batch
     from vitok_tpu.models import AEConfig, init_params
     from vitok_tpu.models.ae import forward_apply
-    from vitok_tpu.utils.profiling import PEAK_FLOPS, flops_of
+    from vitok_tpu.utils.profiling import PEAK_FLOPS
 
     cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
@@ -47,7 +48,6 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
         return jnp.mean(out["patches"].astype(jnp.float32))
 
     jfwd = jax.jit(fwd)
-    cost = flops_of(fwd, params, data, jnp.float32(0))
     c = 0
     for _ in range(2):
         float(jfwd(params, data, jnp.float32(c)))
@@ -57,14 +57,18 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
         float(jfwd(params, data, jnp.float32(c)))
         c += 1
     dt = (time.perf_counter() - t0) / iters
-    eff_flops = cost["flops"] / dt
+    # Analytic forward FLOPs (2 * params * tokens per image): XLA cost
+    # analysis counts a lax.scan body once, not x depth, so it undercounts
+    # scanned models ~depth-fold.
+    model_flops = 2.0 * n_params * n_tokens * batch
+    eff_flops = model_flops / dt
     return {
         "variant": variant,
         "tokens": n_tokens,
         "batch": batch,
         "ms_per_img": dt / batch * 1e3,
         "img_per_s": batch / dt,
-        "xla_flops_per_call": cost["flops"],
+        "model_flops_per_call": model_flops,
         "effective_tflops": eff_flops / 1e12,
         "mfu_vs_v5e_bf16": eff_flops / PEAK_FLOPS["v5e"],
         "n_params": n_params,
@@ -86,7 +90,7 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
         create_train_state,
         make_train_step,
     )
-    from vitok_tpu.utils.profiling import PEAK_FLOPS, flops_of
+    from vitok_tpu.utils.profiling import PEAK_FLOPS
 
     cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
     cfg = dataclasses.replace(cfg, checkpoint=checkpoint)
@@ -108,21 +112,26 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
             d2 = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
             st, metrics = step(st, d2, rng)  # jit-in-jit inlines
             return st, metrics["loss/total"]
-        st, losses = jax.lax.scan(body, state_, jnp.arange(n))
-        return jnp.sum(losses)
+        return jax.lax.scan(body, state_, jnp.arange(n))
 
-    # The chained jit returns only a scalar, so the input state must be
-    # donated or the harness itself doubles state memory.
-    def chained_n(s, d):
-        return chained(s, d, iters)
-
-    many = jax.jit(chained_n, donate_argnums=(0,))
-    cost = flops_of(lambda s, d: chained(s, d, 1), state, data)
-    float(many(jax.tree_util.tree_map(jnp.copy, state), data))  # compile
+    # Donation-neutral chaining: the state is donated in AND returned, so
+    # exactly one copy ever lives on device (a scalar-only return would
+    # force a warmup copy of the whole state and double HBM).
+    many = jax.jit(
+        lambda s, d: chained(s, d, iters), donate_argnums=(0,)
+    )
+    state, losses = many(state, data)  # compile + warmup
+    float(losses[-1])
     t0 = time.perf_counter()
-    float(many(state, data))
+    state, losses = many(state, data)
+    float(losses[-1])  # scalar fetch = completion fence
     dt = (time.perf_counter() - t0) / iters
-    eff = cost["flops"] / dt
+    # Analytic model FLOPs (XLA cost analysis counts a lax.scan body ONCE,
+    # not x depth, so it undercounts scanned models ~25x). Standard
+    # convention: 6 * params * tokens (fwd 2 + bwd 4) per image; remat
+    # recompute is intentionally NOT counted (model MFU, not hardware).
+    model_flops = 6.0 * n_params * n_tokens * batch
+    eff = model_flops / dt
     return {
         "variant": variant, "mode": "train", "tokens": n_tokens,
         "batch": batch, "checkpoint": checkpoint,
@@ -130,7 +139,7 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
         "moment_dtype": str(moment_dtype.__name__) if moment_dtype else "f32",
         "ms_per_step": dt * 1e3,
         "img_per_s": batch / dt,
-        "xla_flops_per_step": cost["flops"],
+        "model_flops_per_step": model_flops,
         "effective_tflops": eff / 1e12,
         "mfu_vs_v5e_bf16": eff / PEAK_FLOPS["v5e"],
         "n_params": n_params,
