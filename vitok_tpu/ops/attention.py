@@ -118,9 +118,14 @@ def dot_product_attention(
         )
     if impl == "auto":
         # Pallas kernel validated for head_dim 64 (350M family) and 128 (5B).
+        # Crossover measured on v5e: XLA's batched attention wins at small N
+        # (5B @256 tokens: 13.29 vs 13.70 ms/img int8 — the kernel's block
+        # grid is latency-bound there), the flash kernel wins above ~2k
+        # tokens where materialized logits start to dominate (and is the
+        # only path that runs 65k-262k tokens at all).
         impl = (
             "pallas"
-            if (_backend_is_tpu() and n >= 128 and d % 64 == 0)
+            if (_backend_is_tpu() and n >= 2048 and d % 64 == 0)
             else "xla"
         )
     if impl == "pallas":
