@@ -450,10 +450,15 @@ def _run_block_stack(
         )
 
         def group_body(carry: Array, group_xs) -> Tuple[Array, None]:
+            # The k-1 non-remat'd blocks are unrolled statically: a nested
+            # lax.scan under jax.checkpoint inside the outer group scan
+            # reliably crashed the TPU compiler (remote_compile HTTP 500).
+            k = jax.tree_util.tree_leaves(group_xs)[0].shape[0]
             first = jax.tree_util.tree_map(lambda a: a[0], group_xs)
-            rest = jax.tree_util.tree_map(lambda a: a[1:], group_xs)
             carry, _ = remat_body(carry, first)
-            carry, _ = jax.lax.scan(body, carry, rest)
+            for j in range(1, k):
+                xj = jax.tree_util.tree_map(lambda a: a[j], group_xs)
+                carry, _ = body(carry, xj)
             return carry, None
 
         head = jax.tree_util.tree_map(lambda a: a[: groups * checkpoint], xs)
