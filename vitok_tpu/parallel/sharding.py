@@ -60,9 +60,14 @@ def ae_param_specs(mesh: Mesh) -> Any:
                 return P(None, tp, fsdp)  # row-parallel
             return P(None, fsdp, None)
         if is_kernel and ndim == 2:
-            # Top-level embeds/heads [in, out]: shard the output over fsdp
-            # when it divides evenly, else replicate.
-            if fsdp is not None and leaf is not None:
+            # Top-level embeds/heads [in, out]. These are tiny next to the
+            # block stacks (decoder_embed on 5B is 0.004% of params), and
+            # sharding their output dim forced the batch-sharded activation
+            # cotangent to reshard onto fsdp in the backward — XLA's SPMD
+            # partitioner fell back to "involuntary full rematerialization"
+            # (replicate-then-slice) for patches-space grads. Shard only
+            # when the kernel is actually big enough to matter.
+            if fsdp is not None and leaf is not None and leaf.size >= (1 << 23):
                 size = mesh.shape[fsdp]
                 if leaf.shape[1] % size == 0:
                     return P(None, fsdp)
