@@ -79,6 +79,27 @@ class TestOptimizer:
         assert float(jnp.abs(norm_update).max()) == 0.0  # no decay on 1-D
         assert float(jnp.abs(kernel_update).max()) > 0.0  # decay on 2-D+
 
+    def test_bf16_first_moment(self):
+        """moment_dtype=bf16 stores mu in bf16 (nu stays fp32) and the
+        update still moves params."""
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(
+            create_schedule("constant", 1e-3, 10),
+            moment_dtype=jnp.bfloat16,
+        )
+        state = tx.init(params)
+        adam = next(x for x in jax.tree_util.tree_flatten(
+            state, is_leaf=lambda x: hasattr(x, "mu"))[0] if hasattr(x, "mu"))
+        mu_leaf = adam.mu["patch_embed"]["kernel"]
+        nu_leaf = adam.nu["patch_embed"]["kernel"]
+        assert mu_leaf.dtype == jnp.bfloat16
+        assert nu_leaf.dtype == jnp.float32
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert float(jnp.abs(
+            updates["patch_embed"]["kernel"]).max()) > 0.0
+
 
 class TestEMA:
     def test_lerp(self):
