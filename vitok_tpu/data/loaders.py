@@ -510,6 +510,7 @@ def _split_fused_tail(pp: str):
 __all__ = [
     "HF_DATASETS",
     "create_dataloader",
+    "iter_samples",
     "patch_collate_fn",
     "to_rgb",
     "brace_expand",

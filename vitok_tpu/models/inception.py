@@ -177,8 +177,8 @@ POOL_DIM = 2048
 # ---------------------------------------------------------------------------
 
 
-def _iter_convs() -> List[Tuple[str, Conv, str]]:
-    """Flat (param_name, conv_spec, in_ch_key) traversal in layout order."""
+def _iter_convs() -> List[Tuple[str, Conv]]:
+    """Flat (param_name, conv_spec) traversal in layout order."""
     out = []
     for kind, name, payload in INCEPTION_LAYOUT:
         if kind == "conv":
@@ -198,9 +198,6 @@ def _iter_convs() -> List[Tuple[str, Conv, str]]:
 def init_inception_params(key: Array, dtype=jnp.float32) -> Params:
     """Random init (architecture tests / smoke runs — NOT FID-comparable)."""
     params: Params = {}
-    in_ch = 3
-    # channel bookkeeping must follow the actual dataflow; easiest is to
-    # trace shapes with a tiny symbolic pass below.
     chans = _infer_in_channels()
     names = _iter_convs()
     keys = jax.random.split(key, len(names))
