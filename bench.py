@@ -1,15 +1,28 @@
-"""Benchmark: 5B-f16x64 encode+decode throughput @256p on one chip.
+"""Benchmark: ViTok-v2 tokenizer throughput matrix on one TPU chip.
 
-The north-star config from BASELINE.json: ViTok-v2 5B (Td4-T/1x16x64),
-bf16, 256 tokens/image. Reference anchor: 3.59 ms/img on A100-80GB batch 500
-with torch.compile (docs/index.html:498-509) => ~278.6 img/s/chip.
+Headline (BASELINE.json north star): 5B (Td4-T/1x16x64) encode+decode
+@256p, int8 — reference anchor 3.59 ms/img on A100-80GB batch 500 with
+torch.compile (docs/index.html:498-509) => ~278.6 img/s/chip. The anchor
+exceeds A100 physics for the full workload (see BASELINE_NOTE.md); MFU
+against the running dtype's peak is the comparable figure of merit.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The default run also emits the full north-star metric matrix
+({350M, 5B} x {256p, 512p} x {bf16, int8}) with an SSIM-vs-bf16 quality
+gate on every int8 row (int8 weights quantized FROM the same bf16 params,
+reconstructions compared image-wise). Everything lands in the ONE JSON
+line the driver parses: headline fields at top level, rows under
+"matrix".
+
+Timing discipline (remote-tunnel runtime): a scalar is computed INSIDE the
+jitted program and fetched (the only reliable completion fence here),
+inputs vary per iteration, and `chain` sequential forwards amortize the
+~30ms tunnel RTT.
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -24,6 +37,17 @@ A100_REF_IMG_PER_S = 1000.0 / 3.59  # ≈278.6 img/s (reference anchor)
 # (reporting int8 throughput against the bf16 peak overstates utilization
 # 2x). See BASELINE_NOTE.md for the anchor-physics derivation.
 V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
+
+# The north-star matrix (BASELINE.json names 256p/512p, both families).
+# 512p quadruples tokens/image; batch shrinks to keep activations in HBM.
+MATRIX = [
+    # (model, variant, res, tokens, grid, batch)  — headline config first
+    ("5B", "Td4-T/1x16x64", 256, 256, (16, 16), 64),
+    ("5B", "Td4-T/1x16x64", 512, 1024, (32, 32), 16),
+    ("350M", "Ld4-Ld24/1x16x64", 256, 256, (16, 16), 64),
+    ("350M", "Ld4-Ld24/1x16x64", 512, 1024, (32, 32), 16),
+]
+GATE_IMAGES = 8  # reconstructions compared per SSIM gate
 
 
 def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
@@ -44,41 +68,26 @@ def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
     }
 
 
-def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
-                  iters=20, warmup=3, attn_impl="auto", quant=False):
-    from vitok_tpu.models import AEConfig, init_params
-    from vitok_tpu.models.ae import forward_apply
-
-    cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
-    if quant:
-        # Same methodology as the reference baseline, whose A100 numbers run
-        # torchao FP8-quantized (eval_vae.py:85); int8 is the v5e analog.
-        # Throughput-only: build int8 weights natively (the real checkpoint
-        # path goes through quantize_block_params).
-        from vitok_tpu.ops.quant import init_params_quantized
-
-        params = init_params_quantized(cfg, jax.random.key(0))
-    else:
-        params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    # Weight count for the MFU estimate (exclude int8 bookkeeping scales).
-    n_params = sum(
+def count_params(params) -> int:
+    """Weight count for the MFU estimate (exclude int8 bookkeeping scales)."""
+    return sum(
         leaf.size
         for path, leaf in jax.tree_util.tree_leaves_with_path(params)
-        if getattr(path[-1], "key", "") != "scale"
-        or "norm" in str(path)
+        if getattr(path[-1], "key", "") != "scale" or "norm" in str(path)
     )
 
-    import functools
+
+def _fwd_scalar(cfg):
+    from vitok_tpu.models.ae import forward_apply
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def fwd(p, d, i, chain):
-        # Fold a per-iteration counter into the input (unique executions) and
-        # reduce the output to one scalar INSIDE the program: fetching that
-        # scalar is the only reliable completion fence on the remote-tunnel
-        # runtime (block_until_ready has been observed to return early).
-        # `chain` sequential forwards amortize the ~35ms tunnel RTT for small
-        # models; the output patches feed the next forward (data dependency
-        # prevents any elision).
+        # Fold a per-iteration counter into the input (unique executions)
+        # and reduce to one scalar INSIDE the program: fetching it is the
+        # only reliable completion fence on the remote-tunnel runtime
+        # (block_until_ready has been observed to return early). `chain`
+        # sequential forwards amortize the tunnel RTT; the output patches
+        # feed the next forward so nothing can be elided.
         patches = d["patches"] + (i * 0.0).astype(jnp.bfloat16)
 
         def body(_, pt):
@@ -90,106 +99,188 @@ def bench_variant(variant: str, batch_sizes, n_tokens=256, grid=(16, 16),
         final = jax.lax.fori_loop(0, chain, body, patches)
         return jnp.mean(final.astype(jnp.float32))
 
-    best = {"img_per_s": 0.0, "batch": 0, "ms_per_img": float("inf")}
-    for b in batch_sizes:
-        batch = make_batch(b, n_tokens, grid, cfg.pixels_per_token)
-        counter = 0
-        try:
-            float(fwd(params, batch, jnp.float32(counter), 1))
-            counter += 1
-            t0 = time.perf_counter()
-            float(fwd(params, batch, jnp.float32(counter), 1))
-            counter += 1
-            t_single = time.perf_counter() - t0
-            # Pick chain so one dispatch runs >= ~0.5s of device work.
-            chain = int(min(max(round(0.5 / max(t_single, 1e-3)), 1), 32))
-            for _ in range(max(warmup - 1, 1)):
-                float(fwd(params, batch, jnp.float32(counter), chain))
-                counter += 1
-            t0 = time.perf_counter()
-            vals = []
-            for _ in range(iters):
-                vals.append(
-                    float(fwd(params, batch, jnp.float32(counter), chain))
-                )
-                counter += 1
-            dt = (time.perf_counter() - t0) / (iters * chain)
-            assert all(np.isfinite(v) for v in vals), "non-finite outputs"
-        except Exception as e:  # OOM at large batch — keep best so far
-            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
-            break
-        img_per_s = b / dt
-        if img_per_s > best["img_per_s"]:
-            best = {
-                "img_per_s": img_per_s,
-                "batch": b,
-                "ms_per_img": dt / b * 1e3,
-            }
-        print(
-            f"# {variant} b={b}: {img_per_s:.1f} img/s ({dt/b*1e3:.3f} ms/img)",
-            file=sys.stderr,
-        )
-    # Forward-pass FLOPs ≈ 2 * params * tokens (matmul-dominated).
-    flops_per_img = 2.0 * n_params * n_tokens
-    peak = V5E_PEAK_TFLOPS["int8" if quant else "bf16"]
-    best["mfu"] = best["img_per_s"] * flops_per_img / (peak * 1e12)
-    best["n_params"] = n_params
-    return best
+    return fwd
+
+
+def _fwd_patches(cfg):
+    from vitok_tpu.models.ae import forward_apply
+
+    @jax.jit
+    def fwd(p, d):
+        out = forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+        return out["patches"]
+
+    return fwd
+
+
+def measure(fwd, params, batch, b, iters, warmup=2):
+    """Fenced img/s for one config; returns (img_per_s, ms_per_img)."""
+    counter = 0
+    float(fwd(params, batch, jnp.float32(counter), 1))
+    counter += 1
+    t0 = time.perf_counter()
+    float(fwd(params, batch, jnp.float32(counter), 1))
+    counter += 1
+    t_single = time.perf_counter() - t0
+    chain = int(min(max(round(0.5 / max(t_single, 1e-3)), 1), 32))
+    for _ in range(max(warmup - 1, 1)):
+        float(fwd(params, batch, jnp.float32(counter), chain))
+        counter += 1
+    t0 = time.perf_counter()
+    vals = []
+    for _ in range(iters):
+        vals.append(float(fwd(params, batch, jnp.float32(counter), chain)))
+        counter += 1
+    dt = (time.perf_counter() - t0) / (iters * chain)
+    assert all(np.isfinite(v) for v in vals), "non-finite outputs"
+    return b / dt, dt / b * 1e3
+
+
+def patches_to_images(patches: np.ndarray, grid, patch: int = 16) -> np.ndarray:
+    """[B, N, P*P*3] -> [B, 3, H, W] for a dense NaFlex grid."""
+    b, n, ppt = patches.shape
+    gr, gc = grid
+    x = patches.reshape(b, gr, gc, 3, patch, patch)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, 3, gr * patch, gc * patch)
+
+
+def ssim_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid) -> float:
+    """Mean SSIM between bf16 and int8 reconstructions (host, CPU jax)."""
+    from vitok_tpu.losses import ssim
+
+    ref = patches_to_images(ref_patches, grid)
+    qnt = patches_to_images(q_patches, grid)
+    rng = float(ref.max() - ref.min()) or 1.0
+    val = ssim(
+        jnp.asarray(ref), jnp.asarray(qnt), data_range=rng, reduce=True
+    )
+    return float(val)
+
+
+def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
+                 with_gate=True):
+    """bf16 + int8 rows (and the int8-vs-bf16 SSIM gate) for one config."""
+    from vitok_tpu.models import AEConfig, init_params
+    from vitok_tpu.ops.quant import quantize_block_params_device
+
+    cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
+    fwd = _fwd_scalar(cfg)
+    fwd_p = _fwd_patches(cfg) if with_gate else None
+    data = make_batch(batch, tokens, grid, cfg.pixels_per_token)
+    gate = make_batch(GATE_IMAGES, tokens, grid, cfg.pixels_per_token, seed=7)
+
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    n_params = count_params(params)
+    flops_per_img = 2.0 * n_params * tokens
+
+    rows = []
+    bf_img_s, bf_ms = measure(fwd, params, data, batch, iters)
+    rows.append({
+        "model": variant, "res": res, "tokens": tokens, "dtype": "bf16",
+        "batch": batch, "img_per_s": round(bf_img_s, 2),
+        "ms_per_img": round(bf_ms, 3),
+        "mfu": round(bf_img_s * flops_per_img / (V5E_PEAK_TFLOPS["bf16"] * 1e12), 3),
+    })
+    print(f"# {variant}@{res}p bf16 b={batch}: {bf_img_s:.1f} img/s "
+          f"({bf_ms:.3f} ms/img)", file=sys.stderr)
+
+    recon_bf = np.asarray(fwd_p(params, gate), np.float32) if with_gate else None
+
+    # int8 weights quantized FROM the same bf16 params (consumes them).
+    params = quantize_block_params_device(params)
+    q_img_s, q_ms = measure(fwd, params, data, batch, iters)
+    row = {
+        "model": variant, "res": res, "tokens": tokens, "dtype": "int8",
+        "batch": batch, "img_per_s": round(q_img_s, 2),
+        "ms_per_img": round(q_ms, 3),
+        "mfu": round(q_img_s * flops_per_img / (V5E_PEAK_TFLOPS["int8"] * 1e12), 3),
+    }
+    if with_gate:
+        recon_q = np.asarray(fwd_p(params, gate), np.float32)
+        row["ssim_vs_bf16"] = round(ssim_gate(recon_bf, recon_q, grid), 4)
+    rows.append(row)
+    print(f"# {variant}@{res}p int8 b={batch}: {q_img_s:.1f} img/s "
+          f"({q_ms:.3f} ms/img)"
+          + (f" ssim={row.get('ssim_vs_bf16')}" if with_gate else ""),
+          file=sys.stderr)
+
+    del params
+    return rows, n_params
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small-model smoke")
-    ap.add_argument("--variant", default="Td4-T/1x16x64")
-    ap.add_argument("--batches", default=None, help="comma-separated batch sizes")
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--dtype", default="int8", choices=["bf16", "int8"],
-                    help="int8 matches the reference's quantized-eval methodology")
-    ap.add_argument("--both", action="store_true",
-                    help="also measure the other dtype at the best batch")
+    ap.add_argument("--variant", default=None,
+                    help="bench ONLY this variant at 256p (skips the matrix)")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--no-matrix", action="store_true",
+                    help="headline row only")
+    ap.add_argument("--no-gate", action="store_true",
+                    help="skip the SSIM quality gates")
+    ap.add_argument("--budget-s", type=float, default=2100.0,
+                    help="soft wall-clock budget; remaining matrix rows are "
+                    "skipped once exceeded (headline always runs)")
     args = ap.parse_args()
 
+    t_start = time.perf_counter()
     if args.quick:
-        variant = "w256_d2_h4-w256_d4_h4/1x16x16"
-        batches = [8]
-        iters = 5
-    else:
-        variant = args.variant
-        batches = (
-            [int(x) for x in args.batches.split(",")]
-            if args.batches
-            else [32, 64]  # 64 is the measured throughput optimum on v5e
+        rows, _ = bench_config(
+            "w256_d2_h4-w256_d4_h4/1x16x16", 256, 256, (16, 16),
+            args.batch or 8, iters=3, with_gate=not args.no_gate,
         )
-        iters = args.iters
+        print(json.dumps({"metric": "quick smoke", "rows": rows}))
+        return
+    if args.variant:
+        rows, _ = bench_config(
+            args.variant, 256, 256, (16, 16), args.batch or 64,
+            iters=args.iters, with_gate=not args.no_gate,
+        )
+        print(json.dumps({"metric": f"{args.variant} @256p", "rows": rows}))
+        return
 
-    best = bench_variant(
-        variant, batches, iters=iters, quant=(args.dtype == "int8")
-    )
+    matrix = []
+    headline = None
+    for model, variant, res, tokens, grid, batch in MATRIX:
+        if headline is not None and (
+            args.no_matrix
+            or time.perf_counter() - t_start > args.budget_s
+        ):
+            print(f"# budget: skipping {model}@{res}p", file=sys.stderr)
+            continue
+        rows, n_params = bench_config(
+            variant, res, tokens, grid, args.batch or batch,
+            iters=args.iters, with_gate=not args.no_gate,
+        )
+        for r in rows:
+            r["model"] = model
+        matrix.extend(rows)
+        if headline is None:
+            headline = next(r for r in rows if r["dtype"] == "int8")
+
     result = {
-        "metric": f"{variant} encode+decode img/s/chip @256p {args.dtype}",
-        "value": round(best["img_per_s"], 2),
+        # Headline: 5B int8 @256p — identical metric definition to r1/r2.
+        "metric": "Td4-T/1x16x64 encode+decode img/s/chip @256p int8",
+        "value": headline["img_per_s"],
         "unit": "img/s",
-        "vs_baseline": round(best["img_per_s"] / A100_REF_IMG_PER_S, 3),
-        "ms_per_img": round(best["ms_per_img"], 3),
-        "batch": best["batch"],
-        "mfu": round(best["mfu"], 3),
-        "mfu_peak_tflops": V5E_PEAK_TFLOPS[args.dtype],
-        "dtype": args.dtype,
+        "vs_baseline": round(headline["img_per_s"] / A100_REF_IMG_PER_S, 3),
+        "ms_per_img": headline["ms_per_img"],
+        "batch": headline["batch"],
+        "mfu": headline["mfu"],
+        "mfu_peak_tflops": V5E_PEAK_TFLOPS["int8"],
+        "dtype": "int8",
+        "ssim_vs_bf16": headline.get("ssim_vs_bf16"),
         "device": str(jax.devices()[0]),
+        # Full north-star matrix: {350M,5B} x {256p,512p} x {bf16,int8},
+        # SSIM gate per int8 row (vs the same params in bf16).
+        "matrix": matrix,
         # Full fenced encode+decode on one v5e chip. The published anchor
         # (3.59 ms/img) exceeds A100 physics for that workload — derivation
         # with arithmetic in BASELINE_NOTE.md.
         "baseline_note": "anchor exceeds A100 peak FLOPs; see BASELINE_NOTE.md",
     }
-    if args.both:
-        alt = bench_variant(
-            variant, [best["batch"]], iters=iters,
-            quant=(args.dtype != "int8"),
-        )
-        other = "int8" if args.dtype == "bf16" else "bf16"
-        result[f"{other}_img_per_s"] = round(alt["img_per_s"], 2)
-        result[f"{other}_ms_per_img"] = round(alt["ms_per_img"], 3)
-        result[f"{other}_mfu"] = round(alt["mfu"], 3)
     print(json.dumps(result))
 
 

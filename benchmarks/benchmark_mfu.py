@@ -76,7 +76,8 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
 
 
 def run_train(variant: str, n_tokens: int, batch: int, iters: int,
-              checkpoint: int, moment_dtype, optimizer: str = "adamw"):
+              checkpoint: int, moment_dtype, optimizer: str = "adamw",
+              remat_save: tuple = ()):
     """Full train-step MFU: loss + grads + AdamW/Muon update, chained
     in-jit (lax.scan over steps) so tunnel RTT doesn't pollute timing."""
     import dataclasses
@@ -93,7 +94,9 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
     from vitok_tpu.utils.profiling import PEAK_FLOPS
 
     cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
-    cfg = dataclasses.replace(cfg, checkpoint=checkpoint)
+    cfg = dataclasses.replace(
+        cfg, checkpoint=checkpoint, remat_save=tuple(remat_save)
+    )
     params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     tx = create_optimizer(
@@ -135,6 +138,7 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
     return {
         "variant": variant, "mode": "train", "tokens": n_tokens,
         "batch": batch, "checkpoint": checkpoint,
+        "remat_save": ",".join(remat_save),
         "optimizer": optimizer,
         "moment_dtype": str(moment_dtype.__name__) if moment_dtype else "f32",
         "ms_per_step": dt * 1e3,
@@ -158,7 +162,13 @@ def main():
                     help="remat granularity for --train (0 = no remat)")
     ap.add_argument("--optimizer", default="adamw")
     ap.add_argument("--moment-dtype", default=None, choices=[None, "bf16"])
+    ap.add_argument("--remat-save", default="",
+                    help="comma list of remat-saved intermediates for "
+                    "--train --checkpoint 1 (qkv_out,ffn_hid,attn_out)")
     args = ap.parse_args()
+    remat_save = tuple(
+        s.strip() for s in args.remat_save.split(",") if s.strip()
+    )
     for v in args.variants.split(","):
         for t in args.tokens.split(","):
             if args.train:
@@ -167,6 +177,7 @@ def main():
                     args.checkpoint,
                     jnp.bfloat16 if args.moment_dtype == "bf16" else None,
                     args.optimizer,
+                    remat_save,
                 )
             else:
                 r = run_one(v.strip(), int(t), args.batch, args.iters)

@@ -84,6 +84,13 @@ def main():
     ap.add_argument("--save-visuals", default=None,
                     help="directory for side-by-side ref/recon PNGs of the "
                     "first batch (reference saves recon visuals)")
+    ap.add_argument("--feature-backbone", default="backbone",
+                    choices=["backbone", "random-proj"],
+                    help="fid/fdd feature extractor: 'backbone' = "
+                    "Inception/DINO (weights from VITOK_INCEPTION_WEIGHTS / "
+                    "VITOK_DINO_WEIGHTS, loud random-init fallback); "
+                    "'random-proj' = weight-free random projection for "
+                    "pipeline smokes (relative numbers only)")
     args = ap.parse_args()
 
     from vitok_tpu.data import create_dataloader
@@ -131,14 +138,22 @@ def main():
     # --- metrics ---------------------------------------------------------
     metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
     fid_fn = fdd_fn = None
-    if "fid" in metric_names:
-        from vitok_tpu.eval_features import inception_feature_fn
+    if args.feature_backbone == "random-proj":
+        from vitok_tpu.eval_features import random_projection_feature_fn
 
-        fid_fn = inception_feature_fn()
-    if "fdd" in metric_names:
-        from vitok_tpu.eval_features import dino_feature_fn
+        if "fid" in metric_names:
+            fid_fn = random_projection_feature_fn(dim=64, seed=0)
+        if "fdd" in metric_names:
+            fdd_fn = random_projection_feature_fn(dim=64, seed=1)
+    else:
+        if "fid" in metric_names:
+            from vitok_tpu.eval_features import inception_feature_fn
 
-        fdd_fn = dino_feature_fn()
+            fid_fn = inception_feature_fn()
+        if "fdd" in metric_names:
+            from vitok_tpu.eval_features import dino_feature_fn
+
+            fdd_fn = dino_feature_fn()
     calc = MetricCalculator(
         metrics=metric_names, fid_feature_fn=fid_fn, fdd_feature_fn=fdd_fn
     )

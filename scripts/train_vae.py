@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--variant", default="Ld2-Ld22/1x16x64")
     ap.add_argument("--checkpoint", type=int, default=0,
                     help="gradient-checkpoint every k-th block (0=off)")
+    ap.add_argument("--remat-save", default="",
+                    help="comma list of intermediates to KEEP under remat "
+                    "(qkv_out,ffn_hid,attn_out); cuts the recompute tax of "
+                    "--checkpoint 1 without the k>1 structural grouping")
     ap.add_argument("--sw", type=int, default=None, help="sliding window")
     ap.add_argument("--pretrained", default=None,
                     help="pretrained name to finetune from")
@@ -59,7 +63,10 @@ def main():
     ap.add_argument("--pp", default=None)
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--patch", type=int, default=16)
-    ap.add_argument("--bs", type=int, default=32, help="global batch size")
+    ap.add_argument(
+        "--bs", type=int, default=32,
+        help="per-process batch size (global batch = bs x num processes)",
+    )
     # optimization
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -138,6 +145,9 @@ def main():
     cfg = AEConfig.from_variant(
         args.variant,
         checkpoint=args.checkpoint,
+        remat_save=tuple(
+            s.strip() for s in args.remat_save.split(",") if s.strip()
+        ),
         sw=args.sw,
         drop_path_rate=args.drop_path,
     )

@@ -233,6 +233,31 @@ class TestForward:
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
 
+    @pytest.mark.parametrize(
+        "save",
+        [("qkv_out",), ("qkv_out", "ffn_hid"), ("qkv_out", "ffn_hid", "attn_out")],
+    )
+    def test_remat_save_policy_same_grads(self, save):
+        """save_only_these_names remat must not change outputs or grads."""
+        cfg = AEConfig(**TINY)
+        cfg_pol = AEConfig(**{**TINY, "checkpoint": 1, "remat_save": save})
+        p = init_params(cfg, jax.random.key(0))
+        batch = make_batch(b=1)
+
+        def loss(pp, c):
+            out = forward_apply(pp, batch, c, compute_dtype=jnp.float32)
+            return jnp.mean(out["patches"].astype(jnp.float32) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(loss(p, cfg)), np.asarray(loss(p, cfg_pol)), atol=1e-6
+        )
+        g_ref = jax.grad(lambda pp: loss(pp, cfg))(p)
+        g_pol = jax.grad(lambda pp: loss(pp, cfg_pol))(p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pol)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_grad_checkpoint_nondivisible_depth(self):
         """depth % k != 0 keeps every-k-th granularity (trailing short group)."""
         base = {**TINY, "encoder_depth": 3, "decoder_depth": 5}

@@ -1,0 +1,154 @@
+"""Parity tests for the fused small-N attention megakernel.
+
+The kernel (interpret mode on CPU) must match the exact unfused composition
+``rms_norm + apply_rotary_emb(half) + dot_product_attention(xla)`` it
+replaces in ``models/ae.py::_block_body``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitok_tpu.ops import fused_attention as fa
+from vitok_tpu.ops.rope import compute_2d_freqs_cis
+
+
+def make_inputs(b=2, n=64, heads=4, d=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    c = heads * d
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)), dtype)
+    q_scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+    k_scale = jnp.asarray(1.0 - 0.1 * rng.standard_normal(d), jnp.float32)
+    idx = np.arange(n)
+    cols = max(int(np.sqrt(n)), 1)
+    row = jnp.asarray(np.tile((idx // cols)[None], (b, 1)), jnp.int32)
+    col = jnp.asarray(np.tile((idx % cols)[None], (b, 1)), jnp.int32)
+    cos, sin = compute_2d_freqs_cis(row, col, d)
+    return qkv, q_scale, k_scale, cos, sin
+
+
+def fused_interp(qkv, qs, ks, cos, sin, mask, heads, sw=None):
+    return fa.fused_qkv_attention(
+        qkv, qs, ks, cos, sin, mask,
+        num_heads=heads, sliding_window=sw, interpret=True,
+    )
+
+
+class TestFusedAttentionParity:
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_no_mask(self, dtype):
+        qkv, qs, ks, cos, sin = make_inputs(dtype=dtype)
+        got = fused_interp(qkv, qs, ks, cos, sin, None, heads=4)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, None, 4, None, attn_impl="xla"
+        )
+        tol = 1e-5 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=tol, rtol=tol,
+        )
+
+    def test_tail_mask(self):
+        qkv, qs, ks, cos, sin = make_inputs(b=3, n=64)
+        mask = jnp.asarray(
+            np.arange(64)[None, :] < np.array([[64], [40], [9]]), bool
+        )
+        got = fused_interp(qkv, qs, ks, cos, sin, mask, heads=4)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, mask, 4, None, attn_impl="xla"
+        )
+        # Compare on valid tokens only (dead-query rows are padding).
+        m = np.asarray(mask)[..., None]
+        np.testing.assert_allclose(
+            np.asarray(got) * m, np.asarray(want) * m, atol=1e-5, rtol=1e-5
+        )
+
+    def test_sliding_window(self):
+        qkv, qs, ks, cos, sin = make_inputs(n=64)
+        got = fused_interp(qkv, qs, ks, cos, sin, None, heads=4, sw=7)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, None, 4, 7, attn_impl="xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_mask_plus_window(self):
+        qkv, qs, ks, cos, sin = make_inputs(b=2, n=49, heads=4, d=28)
+        mask = jnp.asarray(
+            np.arange(49)[None, :] < np.array([[49], [20]]), bool
+        )
+        got = fused_interp(qkv, qs, ks, cos, sin, mask, heads=4, sw=5)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, mask, 4, 5, attn_impl="xla"
+        )
+        m = np.asarray(mask)[..., None]
+        np.testing.assert_allclose(
+            np.asarray(got) * m, np.asarray(want) * m, atol=1e-5, rtol=1e-5
+        )
+
+    def test_multiple_head_groups(self, monkeypatch):
+        # Shrink the VMEM budget so the channel axis splits into >1 group,
+        # exercising the lane-offset BlockSpec views of the q/k/v planes.
+        qkv, qs, ks, cos, sin = make_inputs(b=2, n=32, heads=8, d=64)
+        monkeypatch.setattr(fa, "_VMEM_BUDGET", 16 * 32 * 32)
+        assert fa._pick_group_channels(8 * 64, 64, 32) < 8 * 64
+        got = fused_interp(qkv, qs, ks, cos, sin, None, heads=8)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, None, 8, None, attn_impl="xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_head_dim_64_and_128_shapes(self):
+        # The model head dims (350M: 64, 5B: 128) at a reduced token count.
+        for heads, d in [(2, 64), (2, 128)]:
+            qkv, qs, ks, cos, sin = make_inputs(b=1, n=16, heads=heads, d=d)
+            got = fused_interp(qkv, qs, ks, cos, sin, None, heads=heads)
+            want = fa.unfused_qkv_attention(
+                qkv, qs, ks, cos, sin, None, heads, None, attn_impl="xla"
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+            )
+
+
+class TestFusedVjp:
+    def test_bwd_matches_unfused_vjp(self):
+        """The custom-vjp backward must equal the unfused composition's VJP."""
+        qkv, qs, ks, cos, sin = make_inputs(b=1, n=16, heads=2, d=16)
+        g = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (1, 16, 2 * 16)
+            ),
+            jnp.float32,
+        )
+        res = (qkv, qs, ks, cos, sin, None)
+        dqkv, dqs, dks, dcos, dsin, dmask = fa._fused_op_bwd(2, None, res, g)
+
+        def f(qkv_, qs_, ks_, cos_, sin_):
+            return fa.unfused_qkv_attention(
+                qkv_, qs_, ks_, cos_, sin_, None, 2, None, attn_impl="xla"
+            )
+
+        _, vjp = jax.vjp(f, qkv, qs, ks, cos, sin)
+        want = vjp(g)
+        for got_i, want_i in zip((dqkv, dqs, dks, dcos, dsin), want):
+            np.testing.assert_allclose(
+                np.asarray(got_i), np.asarray(want_i), atol=1e-5, rtol=1e-5
+            )
+        assert dmask is None
+
+    def test_routing_off_tpu(self):
+        """auto on CPU routes to the unfused path (no pallas compile)."""
+        qkv, qs, ks, cos, sin = make_inputs(b=1, n=16, heads=2, d=16)
+        out = fa.fused_qkv_attention(
+            qkv, qs, ks, cos, sin, None, num_heads=2
+        )
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, None, 2, None, attn_impl="xla"
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want))

@@ -23,6 +23,7 @@ published rFID/rFDD).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable, List, Optional, Sequence
 
@@ -35,18 +36,49 @@ Array = jax.Array
 FeatureFn = Callable[[Sequence[Array]], np.ndarray]
 
 
+@functools.lru_cache(maxsize=128)
+def _jitted_group_resize(c: int, h: int, w: int, size: int, method: str):
+    """One compiled resize+clamp program per (input shape, target, method)."""
+
+    def f(x):  # [G, C, H, W] -> [G, C, size, size]
+        y = jax.image.resize(x, (x.shape[0], c, size, size), method=method)
+        return jnp.clip(y, -1.0, 1.0)
+
+    return jax.jit(f)
+
+
 def _resize_batch(
     images: Sequence[Array], size: int, method: str = "bicubic"
 ) -> jnp.ndarray:
-    """Per-image resize + stack to [B, C, size, size], clamped to [-1, 1]
-    (the reference resizes bicubic-antialias then clamps,
-    metrics.py:225-258)."""
-    out = []
-    for img in images:
-        x = jnp.asarray(img, jnp.float32)[None]
-        x = jax.image.resize(x, (1, x.shape[1], size, size), method=method)
-        out.append(x[0])
-    return jnp.clip(jnp.stack(out), -1.0, 1.0)
+    """Resize + stack to [B, C, size, size], clamped to [-1, 1] (the
+    reference resizes bicubic-antialias then clamps, metrics.py:225-258).
+
+    Images are grouped by input shape and each group is resized in ONE
+    jitted call, so a 5k-image eval costs O(unique shapes) dispatches per
+    batch — not one dispatch (and one recompile per unique size) per image.
+    NaFlex eval batches are bucketed, so unique shapes per batch is small.
+    """
+    groups: dict = {}
+    for i, img in enumerate(images):
+        x = jnp.asarray(img, jnp.float32)
+        groups.setdefault(x.shape, []).append((i, x))
+    if len(groups) == 1:
+        (shape, items), = groups.items()
+        y = _jitted_group_resize(*shape, size, method)(
+            jnp.stack([x for _, x in items])
+        )
+        return y
+    chunks, order = [], []
+    for shape, items in groups.items():
+        chunks.append(
+            _jitted_group_resize(*shape, size, method)(
+                jnp.stack([x for _, x in items])
+            )
+        )
+        order.extend(i for i, _ in items)
+    inv = np.empty(len(order), np.int32)
+    inv[np.asarray(order)] = np.arange(len(order), dtype=np.int32)
+    return jnp.concatenate(chunks, axis=0)[jnp.asarray(inv)]
 
 
 def random_projection_feature_fn(

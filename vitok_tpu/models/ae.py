@@ -33,6 +33,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vitok_tpu.ops.attention import dot_product_attention
 from vitok_tpu.ops.mlp import round_hidden_dim
@@ -62,6 +63,13 @@ class AEConfig:
     decoder_heads: int = 12
     mlp_factor: float = 2.67
     checkpoint: int = 0
+    # Named intermediates to SAVE under remat (checkpoint=1):
+    # subset of {"qkv_out", "ffn_hid", "attn_out"}. Empty = full remat
+    # (nothing saveable). This gives k-like recompute reduction with ONE
+    # scanned body — the structural every-k-th grouping (checkpoint=k>1)
+    # crashes the remote TPU compile helper (CLAUDE.md), the policy form
+    # does not.
+    remat_save: Tuple[str, ...] = ()
     spatial_stride: int = 16
     temporal_stride: int = 1
     use_layer_scale: bool = True
@@ -79,6 +87,8 @@ class AEConfig:
         # Reference: sw <= 0 disables sliding window (ae.py:99).
         if self.sw is not None and self.sw <= 0:
             object.__setattr__(self, "sw", None)
+        if not isinstance(self.remat_save, tuple):
+            object.__setattr__(self, "remat_save", tuple(self.remat_save))
 
     @property
     def encoder_head_dim(self) -> int:
@@ -350,31 +360,71 @@ def _block_body(
     else:
         qkv_out = _linear(h, qkv_p)
         hid = _linear(h, fc1_p)
+    # Remat tags: AEConfig.remat_save selects which of these the backward
+    # keeps instead of recomputing (jax.checkpoint save_only_these_names).
+    qkv_out = checkpoint_name(qkv_out, "qkv_out")
+    hid = checkpoint_name(hid, "ffn_hid")
 
     # --- attention branch ---
-    # NOTE: keep the 5-D reshape+index split. Flat last-dim slices look
-    # cheaper but measured 13% SLOWER on the 5B int8 forward (three slices
-    # break the int8 GEMM's output fusion into separate copies).
-    qkv = qkv_out.reshape(b, n, 3, num_heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
-    k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
-    # Params store q/k channels in rotate-half order (converted at load
-    # time by utils/params_io.py) so the rotation needs no lane shuffles —
-    # the interleaved form profiled at ~45% of GEMM time on the 5B int8
-    # forward. Numerically identical to the reference convention.
-    q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
-    attn = dot_product_attention(
-        q, k, v,
-        patch_mask=patch_mask,
-        sliding_window=sliding_window,
-        impl=attn_impl,
-    ).reshape(b, n, c)
+    from vitok_tpu.ops.fused_attention import can_fuse, fused_qkv_attention
+
+    if attn_impl in ("auto", "fused") and can_fuse(n, c, num_heads):
+        # Small-N fused megakernel: QK-norm + RoPE + masked softmax + PV
+        # straight from the flat QKV GEMM output — no 5-D reshape/relayout
+        # copies, no HBM-materialized [B, H, N, N] logits (those measured
+        # ~40% of the 5B int8 decoder loop in the round-3 xplane trace).
+        attn = fused_qkv_attention(
+            qkv_out,
+            blk["attn"]["norm_q"]["scale"],
+            blk["attn"]["norm_k"]["scale"],
+            rope[0], rope[1],
+            patch_mask,
+            num_heads=num_heads,
+            sliding_window=sliding_window,
+            impl="fused",
+        )
+    else:
+        # NOTE: keep the 5-D reshape+index split. Flat last-dim slices look
+        # cheaper but measured 13% SLOWER on the 5B int8 forward (three
+        # slices break the int8 GEMM's output fusion into separate copies).
+        qkv = qkv_out.reshape(b, n, 3, num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
+        k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
+        # Params store q/k channels in rotate-half order (converted at load
+        # time by utils/params_io.py) so the rotation needs no lane
+        # shuffles — the interleaved form profiled at ~45% of GEMM time on
+        # the 5B int8 forward. Numerically identical to the reference.
+        q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
+        attn = dot_product_attention(
+            q, k, v,
+            patch_mask=patch_mask,
+            sliding_window=sliding_window,
+            impl=attn_impl,
+        ).reshape(b, n, c)
+    attn = checkpoint_name(attn, "attn_out")
     attn = _linear(attn, blk["attn"]["out"])
 
     # --- mlp branch (parallel: reads the same normed input) ---
-    mv, mg = jnp.split(hid, 2, axis=-1)
-    mlp = _linear(jax.nn.silu(mg) * mv, blk["ffn"]["fc2"])
+    fc2_p = blk["ffn"]["fc2"]
+    if "kernel_int8" in fc2_p:
+        from vitok_tpu.ops.quant import (
+            can_fuse_silu_quant,
+            fused_silu_quant,
+            int8_matmul_prequant,
+        )
+
+        if can_fuse_silu_quant(n):
+            # One-pass silu(g)*v + per-token int8 quantize (Pallas): the
+            # unfused chain costs two full XLA passes over the fc1 output.
+            tq, t_scale = fused_silu_quant(hid)
+            mlp = int8_matmul_prequant(tq, t_scale, fc2_p, h.dtype)
+        else:
+            mv, mg = jnp.split(hid, 2, axis=-1)
+            mlp = _linear(jax.nn.silu(mg) * mv, fc2_p)
+    else:
+        mv, mg = jnp.split(hid, 2, axis=-1)
+        mlp = _linear(jax.nn.silu(mg) * mv, fc2_p)
 
     combined = attn + mlp
     if "layer_scale" in blk:
@@ -405,12 +455,18 @@ def _run_block_stack(
     checkpoint: int,
     drop_path_rates: Array,
     rng: Optional[Array],
+    remat_save: Tuple[str, ...] = (),
 ) -> Array:
     """Scan the stacked block params over the sequence.
 
     ``jax.lax.scan`` gives one compiled block body; with ``checkpoint > 0``
     the body is rematerialized on the backward pass (trades FLOPs for HBM,
     same capability as the reference's every-k-th-block torch checkpointing).
+    ``remat_save`` keeps the named intermediates (``qkv_out``/``ffn_hid``/
+    ``attn_out``) across the backward instead of recomputing them — the
+    big-GEMM outputs are ~70% of the recompute FLOPs, so saving them buys
+    most of the reference's k>1 behavior without the structural grouping
+    that crashes this TPU tunnel's compile helper.
     """
     rngs = (
         jax.random.split(rng, depth)
@@ -475,9 +531,12 @@ def _run_block_stack(
         return x
 
     if checkpoint > 0:
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.nothing_saveable
+        policy = (
+            jax.checkpoint_policies.save_only_these_names(*remat_save)
+            if remat_save
+            else jax.checkpoint_policies.nothing_saveable
         )
+        body = jax.checkpoint(body, policy=policy)
 
     x, _ = jax.lax.scan(body, x, xs)
     return x
@@ -539,6 +598,7 @@ def encode_apply(
         checkpoint=cfg.checkpoint,
         drop_path_rates=dpr,
         rng=None if deterministic else rng,
+        remat_save=cfg.remat_save,
     )
     z = layer_norm(_linear(x, params["to_code"]))
     out = _meta(patch_dict)
@@ -575,6 +635,7 @@ def decode_apply(
         checkpoint=cfg.checkpoint,
         drop_path_rates=dpr,
         rng=None if deterministic else rng,
+        remat_save=cfg.remat_save,
     )
     out = _meta(encode_dict)
     out["patches"] = _linear(x, params["to_pixels"])

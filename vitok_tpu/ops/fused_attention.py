@@ -1,0 +1,367 @@
+"""Fused small-N attention megakernel (QK-norm + 2D-RoPE + softmax + PV).
+
+Why this exists: at NaFlex budgets (256-1024 tokens) the XLA attention path
+materializes the fp32 ``[B, H, N, N]`` logits in HBM and surrounds the
+per-head split with layout copies; on the 5B int8 forward those ops measure
+~40% of decoder-loop time (xplane trace, round 3). The flash kernel in
+``flash_attention.py`` is built for huge N and is grid-latency-bound here.
+
+This kernel is shaped for the small-N regime instead:
+
+* **input is the raw fused-QKV GEMM output** ``[B, N, 3C]`` — no 5-D
+  reshape, no head-split relayout copies. Three BlockSpecs view the same
+  array at lane offsets ``0 / C / 2C`` (block index = plane offset in
+  ``C_g``-sized units),
+* per (batch, head-group) grid cell the whole token axis lives in VMEM:
+  QK RMSNorm (fp32 stats), rotate-half RoPE, masked fp32 softmax and the
+  PV matmul all happen without touching HBM,
+* output is the flat ``[B, N, C]`` attention result, ready for the output
+  projection GEMM.
+
+Numerics follow the unfused composition exactly (same dtype recipe:
+fp32 norm stats -> bf16 cast -> bf16 rotation -> fp32 logits/softmax ->
+bf16 PV operand -> fp32 accumulation), so this is a drop-in replacement for
+``rms_norm + apply_rotary_emb + dot_product_attention(impl="xla")`` in
+``models/ae.py::_block_body`` — capability parity with the reference's
+attention module (``vitok/models/modules/attention.py`` in
+Na-VAE/vitok-release) with NaFlex masking the reference's flash path lacks.
+
+The op is differentiable via ``jax.custom_vjp``: the backward recomputes
+the unfused composition (cheap at small N) and reuses its VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+_RMS_EPS = 1e-6
+# Max fused-path token count: full-N scores must fit VMEM comfortably.
+MAX_FUSED_TOKENS = 1024
+# Per-stage VMEM budget steering the head-group size (bytes).
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_group_channels(
+    c: int, d: int, n: int, lane_align: bool = True
+) -> int:
+    """Largest per-group channel count that divides C, is a multiple of the
+    head dim AND the 128-lane tile, and keeps ~2x-buffered q/k/v/out blocks
+    under the budget. Returns 0 if no valid group size exists.
+    ``lane_align=False`` (interpreter mode) drops the 128-lane requirement.
+    """
+    best = 0
+    cg = d
+    while cg <= c:
+        if c % cg == 0 and (cg % 128 == 0 or not lane_align) and (
+            best == 0 or 16 * n * cg <= _VMEM_BUDGET
+        ):
+            best = cg
+        cg += d
+    return best
+
+
+def _norm_rope_half(x, scale, cos_b, sin_b):
+    """fp32 RMSNorm -> input-dtype cast -> rotate-half RoPE (bf16 math).
+
+    Mirrors ``ops.norms.rms_norm`` + ``ops.rope.apply_rotary_emb`` with
+    ``convention="half"`` bit-for-bit: stats in fp32, rotation in x.dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + _RMS_EPS) * scale  # scale: [1, D]
+    yb = y.astype(x.dtype)
+    d2 = yb.shape[-1] // 2
+    xr, xi = yb[:, :d2], yb[:, d2:]
+    return jnp.concatenate(
+        [xr * cos_b - xi * sin_b, xr * sin_b + xi * cos_b], axis=-1
+    )
+
+
+def _fused_kernel(
+    qmask_ref,  # [1, 1, N] int32 (1 = valid) — key/query validity
+    cos_ref,    # [1, N, D//2] f32
+    sin_ref,    # [1, N, D//2] f32
+    qs_ref,     # [1, D] f32 — q-norm scale
+    ks_ref,     # [1, D] f32 — k-norm scale
+    q_ref,      # [1, N, C_g] — q plane slice of the qkv GEMM output
+    k_ref,      # [1, N, C_g]
+    v_ref,      # [1, N, C_g]
+    o_ref,      # [1, N, C_g]
+    *,
+    heads_per_group: int,
+    head_dim: int,
+    sliding_window: Optional[int],
+    use_mask: bool,
+):
+    n = q_ref.shape[1]
+    d = head_dim
+    inv_sqrt_d = 1.0 / (d ** 0.5)
+
+    qs = qs_ref[:, :].astype(jnp.float32)  # [1, D] — keep vectors 2-D
+    ks = ks_ref[:, :].astype(jnp.float32)
+    cos32 = cos_ref[0]
+    sin32 = sin_ref[0]
+
+    if use_mask:
+        kv_valid = qmask_ref[0, :, :] > 0  # [1, N]
+    if sliding_window is not None:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        in_window = jnp.abs(q_pos - k_pos) <= sliding_window
+
+    for h in range(heads_per_group):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl]  # [N, D]
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        cos_b = cos32.astype(qh.dtype)
+        sin_b = sin32.astype(qh.dtype)
+
+        q = _norm_rope_half(qh, qs, cos_b, sin_b)
+        k = _norm_rope_half(kh, ks, cos_b, sin_b)
+
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d  # [N, N] f32
+        if use_mask:
+            s = jnp.where(kv_valid, s, jnp.float32(_NEG_INF))
+        if sliding_window is not None:
+            s = jnp.where(in_window, s, jnp.float32(_NEG_INF))
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / l
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, D] f32
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _fused_fwd(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array],
+    num_heads: int,
+    sliding_window: Optional[int],
+    interpret: bool,
+) -> Array:
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    cg = _pick_group_channels(c, d, n, lane_align=not interpret)
+    hg = c // cg  # head groups
+
+    if patch_mask is None:
+        mask = jnp.ones((b, n), jnp.int32)
+        use_mask = False
+    else:
+        mask = patch_mask.astype(jnp.int32)
+        use_mask = True
+
+    kernel = functools.partial(
+        _fused_kernel,
+        heads_per_group=cg // d,
+        head_dim=d,
+        sliding_window=sliding_window,
+        use_mask=use_mask,
+    )
+
+    d2 = d // 2
+    in_specs = [
+        pl.BlockSpec((1, 1, n), lambda bb, g: (bb, 0, 0)),    # mask
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # cos
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # sin
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # q scale
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # k scale
+        # q / k / v planes: same array, lane offsets 0 / C / 2C in C_g units.
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, _hg + g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, 2 * _hg + g)),
+    ]
+    out_spec = pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hg),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        mask[:, None, :],
+        cos.astype(jnp.float32),
+        sin.astype(jnp.float32),
+        q_scale.reshape(1, d),
+        k_scale.reshape(1, d),
+        qkv, qkv, qkv,
+    )
+
+
+def unfused_qkv_attention(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array],
+    num_heads: int,
+    sliding_window: Optional[int],
+    attn_impl: str = "auto",
+) -> Array:
+    """The exact unfused composition the kernel replaces (and its VJP)."""
+    from vitok_tpu.ops.attention import dot_product_attention
+    from vitok_tpu.ops.norms import rms_norm
+    from vitok_tpu.ops.rope import apply_rotary_emb
+
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+    q = rms_norm(q, q_scale)
+    k = rms_norm(k, k_scale)
+    q, k = apply_rotary_emb(q, k, cos, sin, convention="half")
+    out = dot_product_attention(
+        q, k, v,
+        patch_mask=patch_mask,
+        sliding_window=sliding_window,
+        impl=attn_impl,
+    )
+    return out.reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_op(qkv, q_scale, k_scale, cos, sin, patch_mask,
+              num_heads, sliding_window):
+    return _fused_fwd(
+        qkv, q_scale, k_scale, cos, sin, patch_mask,
+        num_heads, sliding_window, interpret=False,
+    )
+
+
+def _fused_op_fwd(qkv, q_scale, k_scale, cos, sin, patch_mask,
+                  num_heads, sliding_window):
+    out = _fused_op(
+        qkv, q_scale, k_scale, cos, sin, patch_mask,
+        num_heads, sliding_window,
+    )
+    return out, (qkv, q_scale, k_scale, cos, sin, patch_mask)
+
+
+def _fused_op_bwd(num_heads, sliding_window, res, g):
+    qkv, q_scale, k_scale, cos, sin, patch_mask = res
+    # Recompute the unfused composition for the gradient (small N: the
+    # recompute is one block's attention, a few % of the block's GEMMs).
+    def f(qkv_, qs_, ks_, cos_, sin_):
+        return unfused_qkv_attention(
+            qkv_, qs_, ks_, cos_, sin_, patch_mask,
+            num_heads, sliding_window, attn_impl="xla",
+        )
+
+    _, vjp = jax.vjp(f, qkv, q_scale, k_scale, cos, sin)
+    dqkv, dqs, dks, dcos, dsin = vjp(g)
+    return dqkv, dqs, dks, dcos, dsin, None
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
+def _backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover — defensive
+        return False
+
+
+def can_fuse(n: int, c: int, num_heads: int) -> bool:
+    """Whether the fused small-N kernel supports this shape on this backend."""
+    d = c // num_heads
+    return (
+        _backend_is_tpu()
+        and n <= MAX_FUSED_TOKENS
+        and n % 8 == 0
+        and c % num_heads == 0
+        and d % 64 == 0
+        and _pick_group_channels(c, d, n) > 0
+    )
+
+
+def fused_qkv_attention(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array] = None,
+    *,
+    num_heads: int,
+    sliding_window: Optional[int] = None,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> Array:
+    """QK-norm + rotate-half RoPE + masked attention from flat QKV.
+
+    Args:
+        qkv: ``[B, N, 3C]`` fused QKV projection output (q/k/v planes
+            contiguous along the channel axis).
+        q_scale, k_scale: ``[D]`` per-head-dim RMSNorm gains.
+        cos, sin: ``[B, N, D//2]`` fp32 RoPE tables (rotate-half pairing).
+        patch_mask: optional ``[B, N]`` bool/int validity mask.
+        num_heads: head count H (``D = C // H``).
+        sliding_window: optional half-width |i-j| <= sw window.
+        impl: ``"auto"`` (fused kernel on TPU when shapes allow, else the
+            unfused composition), ``"fused"`` (force), or any
+            ``dot_product_attention`` impl name for the unfused path.
+
+    Returns:
+        ``[B, N, C]`` attention output in qkv's dtype.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    if impl == "fused" or interpret:
+        if interpret:
+            return _fused_fwd(
+                qkv, q_scale, k_scale, cos, sin, patch_mask,
+                num_heads, sliding_window, interpret=True,
+            )
+        return _fused_op(
+            qkv, q_scale, k_scale, cos, sin, patch_mask,
+            num_heads, sliding_window,
+        )
+    if impl == "auto" and can_fuse(n, c, num_heads):
+        return _fused_op(
+            qkv, q_scale, k_scale, cos, sin, patch_mask,
+            num_heads, sliding_window,
+        )
+    return unfused_qkv_attention(
+        qkv, q_scale, k_scale, cos, sin, patch_mask,
+        num_heads, sliding_window, attn_impl=impl,
+    )
+
+
+__all__ = [
+    "fused_qkv_attention",
+    "unfused_qkv_attention",
+    "can_fuse",
+    "MAX_FUSED_TOKENS",
+]
