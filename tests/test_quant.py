@@ -90,13 +90,21 @@ class TestFusedSiluQuant:
         )
         q, s = fused_silu_quant(hid, interpret=True)
         mv, mg = jnp.split(hid, 2, axis=-1)
-        want_q, want_s = quantize_activation(jax.nn.silu(mg) * mv)
-        diff = np.abs(
-            np.asarray(q, np.int32) - np.asarray(want_q, np.int32)
-        )
-        assert diff.max() <= 1 and (diff > 0).mean() < 0.05
+        # The kernel computes the gate in f32 (Mosaic mis-lowers bf16 silu
+        # scalar broadcasts): compare against the f32-gate chain exactly...
+        t32 = jax.nn.silu(mg.astype(jnp.float32)) * mv.astype(jnp.float32)
+        want_q, want_s = quantize_activation(t32)
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
         np.testing.assert_allclose(
-            np.asarray(s), np.asarray(want_s), rtol=2e-2
+            np.asarray(s), np.asarray(want_s), rtol=1e-6
+        )
+        # ...and stay within one quantization step of the bf16-gate chain
+        # the unfused CPU path runs.
+        bq, bs = quantize_activation(jax.nn.silu(mg) * mv)
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(bq, np.int32))
+        assert diff.max() <= 2 and (diff > 1).mean() < 0.01
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(bs), rtol=2e-2
         )
 
     def test_block_size_respects_vmem(self):

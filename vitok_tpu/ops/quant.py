@@ -97,10 +97,12 @@ def _silu_quant_kernel(hid_ref, q_ref, s_ref, *, ffn: int):
     import jax.nn
 
     x = hid_ref[0]  # [BN, 2F]
-    v = x[:, :ffn]
-    g = x[:, ffn:]
-    t = jax.nn.silu(g) * v  # bf16, matching the unfused mlp branch
-    t32 = t.astype(jnp.float32)
+    # f32 gate math: Mosaic mis-lowers bf16 silu's internal f32 scalar
+    # broadcasts (vector.broadcast f32 -> bf16 vector); the f32 form is
+    # within one quantization step of the unfused bf16 chain.
+    v = x[:, :ffn].astype(jnp.float32)
+    g = x[:, ffn:].astype(jnp.float32)
+    t32 = jax.nn.silu(g) * v
     absmax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / 127.0, 1e-12)
     q_ref[0] = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
@@ -129,8 +131,8 @@ def fused_silu_quant(hid: Array, interpret: bool = False):
     b, n, f2 = hid.shape
     ffn = f2 // 2
     bn = next((c for c in (256, 128, 64, 32, 16, 8, n) if n % c == 0), n)
-    # Keep ~2x-buffered blocks under ~10MB of VMEM.
-    while bn > 8 and 6 * bn * f2 > 10 * 1024 * 1024 and n % (bn // 2) == 0:
+    # Keep ~2x-buffered blocks + the f32 gate temporaries under ~10MB VMEM.
+    while bn > 8 and 12 * bn * f2 > 10 * 1024 * 1024 and n % (bn // 2) == 0:
         bn //= 2
 
     kernel = functools.partial(_silu_quant_kernel, ffn=ffn)

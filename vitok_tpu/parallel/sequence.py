@@ -152,4 +152,91 @@ def sequence_parallel_forward(
     return local_forward(params, patch_dict)
 
 
-__all__ = ["halo_attention", "sequence_parallel_forward", "SEQ_AXIS"]
+def sequence_parallel_value_and_grad(
+    params,
+    patch_dict: Dict[str, Array],
+    cfg,
+    mesh: Mesh,
+    compute_dtype=jnp.bfloat16,
+    charbonnier_eps: float = 1e-3,
+    rng: Optional[Array] = None,
+):
+    """Reconstruction loss + parameter grads with the token axis sharded.
+
+    This is the training side of sequence parallelism: high-res finetuning
+    (SURVEY §5.7 — 262k tokens at 8192p) can token-shard its BACKWARD, which
+    the reference structurally cannot. The halo exchange differentiates
+    through ``ppermute`` (its VJP is the inverse permutation), the masked
+    per-image Charbonnier mean uses ``psum`` for the global token sums, and
+    grads are ``psum``-reduced so every shard returns the full replicated
+    gradient — numerics equal to the single-device
+    ``value_and_grad(charbonnier_loss ∘ forward_apply)``.
+
+    Returns:
+        ``(loss, grads)`` — scalar loss and a grads pytree shaped like
+        ``params`` (replicated).
+    """
+    if cfg.sw is None:
+        raise ValueError("sequence-parallel training requires cfg.sw (SWA)")
+    cfg_local = dataclasses.replace(cfg, attn_impl=f"halo:{SEQ_AXIS}")
+
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(), params),
+        _seq_specs(patch_dict),
+    )
+    out_specs = (P(), jax.tree_util.tree_map(lambda _: P(), params))
+
+    from vitok_tpu.models.ae import forward_apply
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def local_value_and_grad(p, d):
+        mask = d.get("patch_mask")
+        m0 = (
+            mask.astype(jnp.float32)
+            if mask is not None
+            else jnp.ones(d["patches"].shape[:2], jnp.float32)
+        )
+        # Global per-image token count, outside the differentiated function
+        # (masks carry no gradient; keeping psum out of the grad path also
+        # sidesteps shard_map's psum-transpose double-count on replicated
+        # cotangents).
+        den = jax.lax.stop_gradient(
+            jnp.maximum(jax.lax.psum(jnp.sum(m0, axis=-1), SEQ_AXIS), 1.0)
+        )
+
+        def loss_fn(p_):
+            out = forward_apply(
+                p_, d, cfg_local,
+                deterministic=rng is None, rng=rng,
+                compute_dtype=compute_dtype,
+            )
+            diff = out["patches"].astype(jnp.float32) - d["patches"].astype(
+                jnp.float32
+            )
+            per_token = jnp.mean(
+                jnp.sqrt(diff * diff + charbonnier_eps * charbonnier_eps),
+                axis=-1,
+            )  # [B, n_local]
+            # LOCAL partial of charbonnier_loss's mask-weighted per-image
+            # mean: summing the partials over shards gives the global loss.
+            return jnp.mean(jnp.sum(per_token * m0, axis=-1) / den)
+
+        loss_local, g = jax.value_and_grad(loss_fn)(p)
+        # Each shard's grad/loss covers only its token shard; params are
+        # replicated, so one psum assembles the full replicated results.
+        loss = jax.lax.psum(loss_local, SEQ_AXIS)
+        g = jax.tree_util.tree_map(lambda a: jax.lax.psum(a, SEQ_AXIS), g)
+        return loss, g
+
+    return local_value_and_grad(params, patch_dict)
+
+
+__all__ = [
+    "halo_attention",
+    "sequence_parallel_forward",
+    "sequence_parallel_value_and_grad",
+    "SEQ_AXIS",
+]
