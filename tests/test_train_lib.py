@@ -270,10 +270,22 @@ class TestMuon:
         o = np.asarray(newton_schulz_orthogonalize(g_bad), np.float32)
         sv = np.linalg.svd(o, compute_uv=False)
         # Muon's quintic NS flattens the spectrum into a band around 1
-        # (it does not converge to exact orthogonality by design).
-        assert sv.max() < 1.8 and sv.min() > 0.1, (sv.min(), sv.max())
+        # (it does not converge to exact orthogonality by design). The
+        # spectral-start 4-step default trades a slightly looser tail
+        # (directions 1000x below sigma_max inflate to ~0.08 instead of
+        # ~0.1) for ~45% less NS cost; the bulk must sit near 1.
+        assert sv.max() < 1.8 and sv.min() > 0.05, (sv.min(), sv.max())
         orig_sv = np.linalg.svd(np.asarray(g_bad), compute_uv=False)
         assert (sv.max() / sv.min()) < 0.02 * (orig_sv.max() / orig_sv.min())
+
+    def test_newton_schulz_well_conditioned_input(self):
+        """Typical (random) gradients orthogonalize tightly at 4 steps."""
+        from vitok_tpu.muon import newton_schulz_orthogonalize
+
+        g = jax.random.normal(jax.random.key(1), (96, 64))
+        o = np.asarray(newton_schulz_orthogonalize(g), np.float32)
+        sv = np.linalg.svd(o, compute_uv=False)
+        assert sv.max() < 1.3 and sv.min() > 0.55, (sv.min(), sv.max())
 
     def test_muon_step_decreases_loss(self):
         from vitok_tpu.muon import muon

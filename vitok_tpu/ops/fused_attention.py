@@ -46,23 +46,31 @@ _NEG_INF = -1e30
 _RMS_EPS = 1e-6
 # Max fused-path token count: full-N scores must fit VMEM comfortably.
 MAX_FUSED_TOKENS = 1024
-# Per-stage VMEM budget steering the head-group size (bytes).
-_VMEM_BUDGET = 8 * 1024 * 1024
+# Per-cell VMEM budget steering the head-group size (bytes). The model
+# ``16*n*cg`` (2x-buffered bf16 q/k/v/out blocks + fp32 norm temps) plus
+# ``10*n*n`` (fp32 scores + exp + bf16 probs) predicted the observed
+# Mosaic stack usage within ~5% on hardware; 13MB leaves headroom under
+# the 16MB scoped-vmem limit.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _vmem_estimate(n: int, cg: int) -> int:
+    return 16 * n * cg + 10 * n * n
 
 
 def _pick_group_channels(
     c: int, d: int, n: int, lane_align: bool = True
 ) -> int:
     """Largest per-group channel count that divides C, is a multiple of the
-    head dim AND the 128-lane tile, and keeps ~2x-buffered q/k/v/out blocks
-    under the budget. Returns 0 if no valid group size exists.
+    head dim AND the 128-lane tile, and keeps the kernel's working set
+    under the VMEM budget. Returns 0 if no valid group size exists.
     ``lane_align=False`` (interpreter mode) drops the 128-lane requirement.
     """
     best = 0
     cg = d
     while cg <= c:
         if c % cg == 0 and (cg % 128 == 0 or not lane_align) and (
-            best == 0 or 16 * n * cg <= _VMEM_BUDGET
+            best == 0 or _vmem_estimate(n, cg) <= _VMEM_BUDGET
         ):
             best = cg
         cg += d
