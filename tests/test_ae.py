@@ -235,7 +235,12 @@ class TestForward:
 
     @pytest.mark.parametrize(
         "save",
-        [("qkv_out",), ("qkv_out", "ffn_hid"), ("qkv_out", "ffn_hid", "attn_out")],
+        [
+            ("qkv_out",),
+            ("qkv_out", "ffn_hid"),
+            ("qkv_out", "ffn_hid", "attn_out"),
+            ("qkv_out", "ffn_hid", "attn_out", "h_norm", "q_rot", "k_rot"),
+        ],
     )
     def test_remat_save_policy_same_grads(self, save):
         """save_only_these_names remat must not change outputs or grads."""

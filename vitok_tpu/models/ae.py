@@ -63,12 +63,12 @@ class AEConfig:
     decoder_heads: int = 12
     mlp_factor: float = 2.67
     checkpoint: int = 0
-    # Named intermediates to SAVE under remat (checkpoint=1):
-    # subset of {"qkv_out", "ffn_hid", "attn_out"}. Empty = full remat
-    # (nothing saveable). This gives k-like recompute reduction with ONE
-    # scanned body — the structural every-k-th grouping (checkpoint=k>1)
-    # crashes the remote TPU compile helper (CLAUDE.md), the policy form
-    # does not.
+    # Named intermediates to SAVE under remat (checkpoint=1): subset of
+    # {"qkv_out", "ffn_hid", "attn_out", "h_norm", "q_rot", "k_rot"}.
+    # Empty = full remat (nothing saveable). This gives k-like recompute
+    # reduction with ONE scanned body — the structural every-k-th grouping
+    # (checkpoint=k>1) crashes the remote TPU compile helper (CLAUDE.md),
+    # the policy form does not.
     remat_save: Tuple[str, ...] = ()
     spatial_stride: int = 16
     temporal_stride: int = 1
@@ -342,7 +342,7 @@ def _block_body(
     b, n, c = x.shape
     head_dim = c // num_heads
 
-    h = rms_norm(x, blk["norm1"]["scale"])
+    h = checkpoint_name(rms_norm(x, blk["norm1"]["scale"]), "h_norm")
 
     # qkv and fc1 read the same normed input: under int8, quantize h once
     # and share the int8 activations across both column-parallel matmuls.
@@ -368,7 +368,16 @@ def _block_body(
     # --- attention branch ---
     from vitok_tpu.ops.fused_attention import can_fuse, fused_qkv_attention
 
-    if attn_impl in ("auto", "fused") and can_fuse(n, c, num_heads):
+    # The fused megakernel is an INFERENCE path: under training remat its
+    # recompute-backward (custom-vjp re-runs the unfused composition) costs
+    # more than it saves — measured 264 vs 243 ms/step at 350M bs32 full
+    # remat. ``drop_path_rng is None`` <=> deterministic forward.
+    inference = drop_path_rng is None
+    if (
+        attn_impl in ("auto", "fused")
+        and (inference or attn_impl == "fused")
+        and can_fuse(n, c, num_heads)
+    ):
         # Small-N fused megakernel: QK-norm + RoPE + masked softmax + PV
         # straight from the flat QKV GEMM output — no 5-D reshape/relayout
         # copies, no HBM-materialized [B, H, N, N] logits (those measured
@@ -396,6 +405,8 @@ def _block_body(
         # shuffles — the interleaved form profiled at ~45% of GEMM time on
         # the 5B int8 forward. Numerically identical to the reference.
         q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
+        q = checkpoint_name(q, "q_rot")
+        k = checkpoint_name(k, "k_rot")
         attn = dot_product_attention(
             q, k, v,
             patch_mask=patch_mask,
