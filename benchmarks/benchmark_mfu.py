@@ -77,7 +77,7 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
 
 def run_train(variant: str, n_tokens: int, batch: int, iters: int,
               checkpoint: int, moment_dtype, optimizer: str = "adamw",
-              remat_save: tuple = ()):
+              remat_save: tuple = (), attn_impl: str = "auto"):
     """Full train-step MFU: loss + grads + AdamW/Muon update, chained
     in-jit (lax.scan over steps) so tunnel RTT doesn't pollute timing."""
     import dataclasses
@@ -95,7 +95,8 @@ def run_train(variant: str, n_tokens: int, batch: int, iters: int,
 
     cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
     cfg = dataclasses.replace(
-        cfg, checkpoint=checkpoint, remat_save=tuple(remat_save)
+        cfg, checkpoint=checkpoint, remat_save=tuple(remat_save),
+        attn_impl=attn_impl,
     )
     params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -165,6 +166,8 @@ def main():
     ap.add_argument("--remat-save", default="",
                     help="comma list of remat-saved intermediates for "
                     "--train --checkpoint 1 (qkv_out,ffn_hid,attn_out)")
+    ap.add_argument("--attn-impl", default="auto",
+                    help="attention impl for --train (auto/xla/fused)")
     args = ap.parse_args()
     remat_save = tuple(
         s.strip() for s in args.remat_save.split(",") if s.strip()
@@ -178,6 +181,7 @@ def main():
                     jnp.bfloat16 if args.moment_dtype == "bf16" else None,
                     args.optimizer,
                     remat_save,
+                    args.attn_impl,
                 )
             else:
                 r = run_one(v.strip(), int(t), args.batch, args.iters)

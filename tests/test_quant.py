@@ -107,6 +107,28 @@ class TestFusedSiluQuant:
             np.asarray(s), np.asarray(bs), rtol=2e-2
         )
 
+    def test_rmsnorm_quant_matches_unfused(self):
+        """Pallas rmsnorm+quant (interpret) vs the f32 reference chain."""
+        from vitok_tpu.ops.quant import fused_rmsnorm_quant, quantize_activation
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 48, 136)), jnp.bfloat16)
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(136), jnp.float32)
+        q, s = fused_rmsnorm_quant(x, g, interpret=True)
+        # f32 norm (no bf16 round-trip) -> quantize: the kernel's math.
+        x32 = np.asarray(x, np.float32)
+        var = (x32 ** 2).mean(-1, keepdims=True)
+        y = x32 / np.sqrt(var + 1e-6) * np.asarray(g)[None, None]
+        want_q, want_s = quantize_activation(jnp.asarray(y))
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want_s), rtol=1e-6)
+        # Within one step of the bf16-round-trip chain the CPU path runs.
+        from vitok_tpu.ops.norms import rms_norm
+
+        bq, _ = quantize_activation(rms_norm(x, g))
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(bq, np.int32))
+        assert diff.max() <= 1
+
     def test_block_size_respects_vmem(self):
         from vitok_tpu.ops.quant import fused_silu_quant
 

@@ -350,11 +350,19 @@ def _block_body(
     shared_int8 = "kernel_int8" in qkv_p and "kernel_int8" in fc1_p
     if shared_int8:
         from vitok_tpu.ops.quant import (
+            can_fuse_silu_quant,
+            fused_rmsnorm_quant,
             int8_matmul_prequant,
             quantize_activation,
         )
 
-        hq, h_scale = quantize_activation(h)
+        if can_fuse_silu_quant(n):
+            # One-pass Pallas rmsnorm+quantize straight from the residual
+            # stream (XLA needs four passes for the unfused chain); the
+            # rms_norm above is dead in this branch and DCE'd.
+            hq, h_scale = fused_rmsnorm_quant(x, blk["norm1"]["scale"])
+        else:
+            hq, h_scale = quantize_activation(h)
         qkv_out = int8_matmul_prequant(hq, h_scale, qkv_p, h.dtype)
         hid = int8_matmul_prequant(hq, h_scale, fc1_p, h.dtype)
     else:

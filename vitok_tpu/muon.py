@@ -29,44 +29,24 @@ Params = Any
 _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
 
-def _spectral_norm_estimate(x32: jax.Array, iters: int = 8) -> jax.Array:
-    """Power-iteration estimate of sigma_max for ``[..., m, n]`` (fp32).
-
-    Matvec cost (2*iters*m*n) is negligible next to one NS iteration
-    (~2*m^2*n), and starting the quintic at sigma_max ~= 1 instead of the
-    Frobenius-normalized ~1/sqrt(rank) saves 1-2 NS iterations' worth of
-    pure spectrum inflation (measured: spectral-start 4 steps beats
-    Frobenius-start 5 steps on ill-conditioned inputs).
-    """
-    n = x32.shape[-1]
-    v = jnp.ones(x32.shape[:-2] + (n, 1), jnp.float32) / (n ** 0.5)
-
-    def body(_, v):
-        u = jnp.einsum("...mn,...n1->...m1", x32, v)
-        u = u / (jnp.linalg.norm(u, axis=(-2, -1), keepdims=True) + 1e-20)
-        v = jnp.einsum("...mn,...m1->...n1", x32, u)
-        return v / (jnp.linalg.norm(v, axis=(-2, -1), keepdims=True) + 1e-20)
-
-    v = jax.lax.fori_loop(0, iters, body, v)
-    u = jnp.einsum("...mn,...n1->...m1", x32, v)
-    return jnp.linalg.norm(u, axis=(-2, -1), keepdims=True)
-
-
 def newton_schulz_orthogonalize(g: jax.Array, steps: int = 4) -> jax.Array:
     """Approximate the orthogonal polar factor of ``g`` ([..., m, n]).
 
     Quintic Newton-Schulz in bf16 (MXU-friendly), on the transposed problem
     when m > n for the cheaper Gram matrix. Two cost cuts vs the textbook
-    form (~45% fewer FLOPs at equal-or-better spectrum quality, which is
-    what keeps Muon's step-time overhead small at 350M scale):
+    form (~30% less measured step time at equal spectrum quality — what
+    keeps Muon's step-time overhead small at 350M scale):
 
-    * **spectral-norm start**: normalize by a power-iteration sigma_max
-      estimate (x1.05 safety) instead of the Frobenius norm, so iterations
-      aren't spent inflating the spectrum from ~1/sqrt(rank) to ~1 — the
-      default drops from 5 steps to 4,
-    * **polynomial form**: per step compute ``A = X Xᵀ`` once, then
-      ``X <- a X + (b A + c A²) X`` — 2·m²·n + m³ multiplies instead of
-      3·m²·n (m <= n after the transpose, so m³ <= m²n).
+    * **gram-norm start**: the first iteration's Gram matrix ``G = X Xᵀ``
+      doubles as the normalizer — ``sigma_max <= ||G||_F^(1/2)`` (a
+      ~6x tighter bound than ``||X||_F = trace(G)^(1/2)`` on
+      near-isotropic inputs), so the quintic starts closer to 1 and 4
+      steps match Frobenius-start 5-step quality at zero extra matmuls.
+      (A power-iteration estimate is tighter still but its sequential
+      matvecs measured +29 ms across the 350M leaves — slower overall.)
+    * **polynomial form**: per step compute ``G = X Xᵀ`` once, then
+      ``X <- a X + (b G + c G²) X`` — 2·m²·n + m³ multiplies instead of
+      the textbook 3·m²·n (m <= n after the transpose, so m³ <= m²n).
     """
     a, b, c = _NS_COEFFS
     m, n = g.shape[-2], g.shape[-1]
@@ -74,26 +54,35 @@ def newton_schulz_orthogonalize(g: jax.Array, steps: int = 4) -> jax.Array:
     x = g.astype(jnp.bfloat16)
     if transpose:
         x = jnp.swapaxes(x, -1, -2)
-    x32 = x.astype(jnp.float32)
-    # 1.05 covers power-iteration underestimate; the quintic tolerates
-    # sigma up to ~1.4 before divergence, so the margin is comfortable.
-    norm = _spectral_norm_estimate(x32) * 1.05
-    x = (x32 / (norm + 1e-7)).astype(jnp.bfloat16)
 
-    def body(_, x):
-        gram = jnp.einsum(
+    def gram_of(x):
+        return jnp.einsum(
             "...ij,...kj->...ik", x, x, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+        )
+
+    def poly_step(x, gram_b):
         gram2 = jnp.einsum(
-            "...ij,...jk->...ik", gram, gram,
+            "...ij,...jk->...ik", gram_b, gram_b,
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
-        poly = b * gram + c * gram2
+        poly = b * gram_b + c * gram2
         return a * x + jnp.einsum(
             "...ij,...jk->...ik", poly, x, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
-    x = jax.lax.fori_loop(0, steps, body, x)
+    # First gram (fp32, unnormalized) provides the spectral bound AND
+    # iteration 1: sigma_max(X)^2 = lambda_max(G) <= ||G||_F.
+    g1 = gram_of(x)
+    sigma2 = jnp.sqrt(
+        jnp.sum(g1 * g1, axis=(-2, -1), keepdims=True)
+    ) + 1e-12  # >= sigma_max^2
+    sigma = jnp.sqrt(sigma2)
+    x = (x.astype(jnp.float32) / sigma).astype(jnp.bfloat16)
+    x = poly_step(x, (g1 / sigma2).astype(jnp.bfloat16))
+
+    for _ in range(max(steps - 1, 0)):
+        x = poly_step(x, gram_of(x).astype(jnp.bfloat16))
+
     if transpose:
         x = jnp.swapaxes(x, -1, -2)
     return x
@@ -114,20 +103,33 @@ def scale_by_muon(
     momentum: float = 0.95,
     nesterov: bool = True,
     ns_steps: int = 4,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
-    """NS-orthogonalized momentum direction (unscaled; chain with lr)."""
+    """NS-orthogonalized momentum direction (unscaled; chain with lr).
+
+    ``moment_dtype`` (e.g. bf16) stores the momentum buffer in reduced
+    precision — the NS input is cast to bf16 anyway, so the update is
+    unaffected beyond EMA rounding; it halves optimizer-state HBM traffic.
+    """
 
     def init(params):
         return ScaleByMuonState(
-            momentum=jax.tree_util.tree_map(jnp.zeros_like, params)
+            momentum=jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(
+                    p, dtype=moment_dtype or p.dtype
+                ),
+                params,
+            )
         )
 
     def update(grads, state, params=None):
         new_mom = jax.tree_util.tree_map(
-            lambda m, g: momentum * m + g, state.momentum, grads
+            lambda m, g: (momentum * m.astype(g.dtype) + g).astype(m.dtype),
+            state.momentum, grads,
         )
 
         def direction(m, g):
+            m = m.astype(g.dtype)
             mg = momentum * m + g if nesterov else m
             ortho = newton_schulz_orthogonalize(mg, ns_steps)
             rows, cols = mg.shape[-2], mg.shape[-1]
@@ -148,11 +150,12 @@ def muon(
     adam_b1: float = 0.9,
     adam_b2: float = 0.99,
     adam_lr_scale: float = 1.0,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """Muon for matrix params + Adam for the rest (reference: momentum 0.95)."""
 
     muon_tx = optax.chain(
-        scale_by_muon(momentum, nesterov, ns_steps),
+        scale_by_muon(momentum, nesterov, ns_steps, moment_dtype),
         optax.scale_by_learning_rate(learning_rate),  # negates
     )
     adam_lr = (

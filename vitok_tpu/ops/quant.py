@@ -156,6 +156,66 @@ def fused_silu_quant(hid: Array, interpret: bool = False):
     return q, s
 
 
+def _rmsnorm_quant_kernel(x_ref, s_ref, q_ref, a_ref, *, eps: float):
+    """fp32 RMSNorm + per-token dynamic int8 quantize, one HBM pass.
+
+    x_ref: [1, BN, C] activations; s_ref: [1, C] norm gain;
+    q_ref: [1, BN, C] int8; a_ref: [1, BN, 1] f32 scales.
+    """
+    x32 = x_ref[0].astype(jnp.float32)  # [BN, C]
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps) * s_ref[:, :].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q_ref[0] = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+    a_ref[0] = scale
+
+
+def fused_rmsnorm_quant(x: Array, scale: Array, eps: float = 1e-6,
+                        interpret: bool = False):
+    """Fused ``quantize_activation(rms_norm(x, scale))`` (Pallas).
+
+    The unfused chain costs four passes over ``[B, N, C]`` in XLA (norm
+    write, absmax read, rescale read+write); this kernel reads x once and
+    writes int8 + scales. It quantizes the fp32 normed value directly
+    (one fewer bf16 round-trip than the unfused path — within one
+    quantization step).
+
+    Returns ``(q [B, N, C] int8, a_scale [B, N, 1] f32)`` for
+    ``int8_matmul_prequant``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    bn = next((v for v in (512, 256, 128, 64, 32, 16, 8, n) if n % v == 0), n)
+    while bn > 8 and 10 * bn * c > 10 * 1024 * 1024 and n % (bn // 2) == 0:
+        bn //= 2
+
+    kernel = functools.partial(_rmsnorm_quant_kernel, eps=eps)
+    q, a = pl.pallas_call(
+        kernel,
+        grid=(b, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bn, 1), lambda i, j: (i, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(x, scale.reshape(1, c))
+    return q, a
+
+
 def can_fuse_silu_quant(n: int) -> bool:
     try:
         backend = jax.default_backend()

@@ -116,7 +116,10 @@ def create_optimizer(
     if optimizer == "muon":
         from vitok_tpu.muon import muon
 
-        inner = muon(schedule, momentum=momentum, adam_b1=b1, adam_b2=b2)
+        inner = muon(
+            schedule, momentum=momentum, adam_b1=b1, adam_b2=b2,
+            moment_dtype=moment_dtype,
+        )
     elif optimizer == "adamw":
         inner = optax.adamw(
             learning_rate=schedule,
