@@ -58,21 +58,68 @@ def main():
     ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the full train step (AdamW, remat save-3)")
+    ap.add_argument("--checkpoint", type=int, default=1)
+    ap.add_argument("--remat-save", default="qkv_out,ffn_hid,attn_out")
     args = ap.parse_args()
+
+    import dataclasses
 
     from bench import make_batch
     from vitok_tpu.models import AEConfig, init_params
     from vitok_tpu.models.ae import forward_apply
 
     cfg = AEConfig.from_variant(args.variant, attn_impl="auto")
+    side = int(args.tokens ** 0.5)
+    batch = make_batch(
+        args.batch, args.tokens, (side, side), cfg.pixels_per_token
+    )
+
+    if args.train:
+        from vitok_tpu.train_lib import (
+            LossConfig, create_optimizer, create_schedule,
+            create_train_state, make_train_step,
+        )
+
+        cfg = dataclasses.replace(
+            cfg,
+            checkpoint=args.checkpoint,
+            remat_save=tuple(
+                s for s in args.remat_save.split(",") if s
+            ),
+        )
+        params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        tx = create_optimizer(create_schedule("constant", 1e-4, 1000, 0.0))
+        state = create_train_state(params, tx, ema=True)
+        step = make_train_step(cfg, tx, LossConfig(), donate=False)
+        rng = jax.random.key(1)
+
+        @jax.jit
+        def fwd(st, d, i):
+            d2 = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
+            st, metrics = step(st, d2, rng)
+            return st, metrics["loss/total"]
+
+        state, l = fwd(state, batch, jnp.float32(0))
+        float(l)
+        state, l = fwd(state, batch, jnp.float32(1))
+        float(l)
+
+        tmp = tempfile.mkdtemp(prefix="xplane_")
+        with jax.profiler.trace(tmp):
+            for i in range(args.iters):
+                state, l = fwd(state, batch, jnp.float32(2 + i))
+                float(l)
+        _report(tmp, args)
+        return
+
     if args.dtype == "int8":
         from vitok_tpu.ops.quant import init_params_quantized
 
         params = init_params_quantized(cfg, jax.random.key(0))
     else:
         params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-
-    batch = make_batch(args.batch, args.tokens, (16, 16), cfg.pixels_per_token)
 
     @jax.jit
     def fwd(p, d, i):
@@ -90,7 +137,10 @@ def main():
     with jax.profiler.trace(tmp):
         for i in range(args.iters):
             float(fwd(params, batch, jnp.float32(2 + i)))
+    _report(tmp, args)
 
+
+def _report(tmp, args):
     files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
     assert files, f"no xplane produced under {tmp}"
     from jax.profiler import ProfileData
