@@ -96,8 +96,8 @@ def _norm_rope_half(x, scale, cos_b, sin_b):
 
 def _fused_kernel(
     qmask_ref,  # [1, 1, N] int32 (1 = valid) — key/query validity
-    cos_ref,    # [1, N, D//2] f32
-    sin_ref,    # [1, N, D//2] f32
+    cos_ref,    # [1, N, D//2] in the activation dtype
+    sin_ref,    # [1, N, D//2] in the activation dtype
     qs_ref,     # [1, D] f32 — q-norm scale
     ks_ref,     # [1, D] f32 — k-norm scale
     q_ref,      # [1, N, C_g] — q plane slice of the qkv GEMM output
@@ -116,8 +116,10 @@ def _fused_kernel(
 
     qs = qs_ref[:, :].astype(jnp.float32)  # [1, D] — keep vectors 2-D
     ks = ks_ref[:, :].astype(jnp.float32)
-    cos32 = cos_ref[0]
-    sin32 = sin_ref[0]
+    # Tables arrive pre-cast to the activation dtype (the rotation runs in
+    # that dtype anyway — apply_rotary_emb semantics) — halves their DMA.
+    cos_b = cos_ref[0]
+    sin_b = sin_ref[0]
 
     if use_mask:
         kv_valid = qmask_ref[0, :, :] > 0  # [1, N]
@@ -131,8 +133,6 @@ def _fused_kernel(
         qh = q_ref[0, :, sl]  # [N, D]
         kh = k_ref[0, :, sl]
         vh = v_ref[0, :, sl]
-        cos_b = cos32.astype(qh.dtype)
-        sin_b = sin32.astype(qh.dtype)
 
         q = _norm_rope_half(qh, qs, cos_b, sin_b)
         k = _norm_rope_half(kh, ks, cos_b, sin_b)
@@ -217,8 +217,8 @@ def _fused_fwd(
         interpret=interpret,
     )(
         mask[:, None, :],
-        cos.astype(jnp.float32),
-        sin.astype(jnp.float32),
+        cos.astype(qkv.dtype),
+        sin.astype(qkv.dtype),
         q_scale.reshape(1, d),
         k_scale.reshape(1, d),
         qkv, qkv, qkv,
