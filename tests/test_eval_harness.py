@@ -73,6 +73,13 @@ class TestEvalHarness:
         assert 0.0 <= stats["ssim"] <= 1.0
         assert np.isfinite(stats["psnr"])
 
+    def test_quantized_path(self, image_folder, tmp_path):
+        """--quant runs the int8 block path end-to-end through the harness."""
+        stats = run_eval(image_folder, tmp_path, "--quant")
+        assert stats["n_images"] == 4
+        assert 0.0 <= stats["ssim"] <= 1.0
+        assert np.isfinite(stats["psnr"])
+
     def test_frechet_path(self, image_folder, tmp_path):
         """fid/fdd flow end-to-end through MetricCalculator + gather.
 
