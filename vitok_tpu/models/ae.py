@@ -616,7 +616,10 @@ def encode_apply(
         attn_impl=cfg.attn_impl,
         checkpoint=cfg.checkpoint,
         drop_path_rates=dpr,
-        rng=None if deterministic else rng,
+        # The encoder never drop-paths (reference ae.py:143 ramps the
+        # decoder only), so the per-layer RNG + gating multiply would be a
+        # no-op — skip it statically.
+        rng=None,
         remat_save=cfg.remat_save,
     )
     z = layer_norm(_linear(x, params["to_code"]))
@@ -642,6 +645,10 @@ def decode_apply(
     # Linear drop-path ramp over decoder depth (reference ae.py:143).
     d = cfg.decoder_depth
     dpr = cfg.drop_path_rate * jnp.arange(d, dtype=jnp.float32) / max(d - 1, 1)
+    # drop_path_rate == 0.0 makes the stochastic-depth gate exactly 1
+    # (floor(1 + u) = 1, scale = 1): skip the per-layer RNG + full-stream
+    # gating multiply statically rather than paying it in every block.
+    use_drop = (not deterministic) and cfg.drop_path_rate > 0.0
     x = _run_block_stack(
         x,
         params["decoder_blocks"],
@@ -653,7 +660,7 @@ def decode_apply(
         attn_impl=cfg.attn_impl,
         checkpoint=cfg.checkpoint,
         drop_path_rates=dpr,
-        rng=None if deterministic else rng,
+        rng=rng if use_drop else None,
         remat_save=cfg.remat_save,
     )
     out = _meta(encode_dict)
