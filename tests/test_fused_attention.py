@@ -152,3 +152,80 @@ class TestFusedVjp:
             qkv, qs, ks, cos, sin, None, 2, None, attn_impl="xla"
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+class TestPallasBwdKernel:
+    """Interpret-mode parity of the Pallas backward kernel against the
+    unfused composition's VJP (the same oracle the fallback path uses)."""
+
+    def _check(self, b, n, heads, d, mask=None, sw=None, dtype=jnp.float32,
+               tol=None, seed=0):
+        qkv, qs, ks, cos, sin = make_inputs(
+            b=b, n=n, heads=heads, d=d, seed=seed, dtype=dtype
+        )
+        g = jnp.asarray(
+            np.random.default_rng(seed + 1).standard_normal(
+                (b, n, heads * d)
+            ),
+            dtype,
+        )
+        if mask is not None:
+            # The op zeroes dead-query cotangents before either backward
+            # branch (see _fused_op_bwd) — mirror that contract here.
+            g = g * mask.astype(g.dtype)[..., None]
+        dqkv, dqs, dks = fa._fused_bwd(
+            qkv, qs, ks, cos, sin, mask, g, heads, sw, interpret=True
+        )
+
+        def f(qkv_, qs_, ks_):
+            return fa.unfused_qkv_attention(
+                qkv_, qs_, ks_, cos, sin, mask, heads, sw, attn_impl="xla"
+            )
+
+        _, vjp = jax.vjp(f, qkv, qs, ks)
+        want_dqkv, want_dqs, want_dks = vjp(g)
+        tol = tol or (1e-4 if dtype == jnp.float32 else 5e-2)
+        np.testing.assert_allclose(
+            np.asarray(dqkv, np.float32), np.asarray(want_dqkv, np.float32),
+            atol=tol, rtol=tol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dqs), np.asarray(want_dqs), atol=tol, rtol=tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(dks), np.asarray(want_dks), atol=tol, rtol=tol
+        )
+
+    def test_no_mask_f32(self):
+        self._check(b=2, n=64, heads=4, d=32)
+
+    def test_no_mask_bf16(self):
+        self._check(b=2, n=64, heads=4, d=32, dtype=jnp.bfloat16)
+
+    def test_tail_mask(self):
+        mask = jnp.asarray(
+            np.arange(64)[None, :] < np.array([[64], [40], [9]]), bool
+        )
+        self._check(b=3, n=64, heads=4, d=32, mask=mask)
+
+    def test_sliding_window(self):
+        self._check(b=2, n=64, heads=4, d=32, sw=7)
+
+    def test_mask_plus_window(self):
+        mask = jnp.asarray(
+            np.arange(48)[None, :] < np.array([[48], [20]]), bool
+        )
+        self._check(b=2, n=48, heads=4, d=32, mask=mask, sw=5)
+
+    def test_model_head_dims(self):
+        # 350M: d=64; 5B: d=128.
+        self._check(b=1, n=32, heads=2, d=64)
+        self._check(b=1, n=32, heads=2, d=128)
+
+    def test_multiple_head_groups(self, monkeypatch):
+        monkeypatch.setattr(fa, "_VMEM_BUDGET", 100_000)
+        cg = fa._pick_group_channels(
+            8 * 64, 64, 32, lane_align=False, estimate=fa._vmem_estimate_bwd
+        )
+        assert 0 < cg < 8 * 64
+        self._check(b=2, n=32, heads=8, d=64)

@@ -333,6 +333,7 @@ def _block_body(
     attn_impl: str,
     drop_path_prob: Array,
     drop_path_rng: Optional[Array],
+    deterministic: bool = True,
 ) -> Array:
     """One parallel transformer block: x + dp(ls(attn(norm(x)) + mlp(norm(x)))).
 
@@ -379,8 +380,10 @@ def _block_body(
     # The fused megakernel is an INFERENCE path: under training remat its
     # recompute-backward (custom-vjp re-runs the unfused composition) costs
     # more than it saves — measured 264 vs 243 ms/step at 350M bs32 full
-    # remat. ``drop_path_rng is None`` <=> deterministic forward.
-    inference = drop_path_rng is None
+    # remat and 213 vs 208 ms/step under the save-3 policy. Gate on the
+    # explicit ``deterministic`` flag (NOT ``drop_path_rng is None`` — the
+    # rng is also None in training when drop_path_rate == 0).
+    inference = deterministic
     if (
         attn_impl in ("auto", "fused")
         and (inference or attn_impl == "fused")
@@ -475,6 +478,7 @@ def _run_block_stack(
     drop_path_rates: Array,
     rng: Optional[Array],
     remat_save: Tuple[str, ...] = (),
+    deterministic: bool = True,
 ) -> Array:
     """Scan the stacked block params over the sequence.
 
@@ -506,6 +510,7 @@ def _run_block_stack(
             attn_impl=attn_impl,
             drop_path_prob=dpr,
             drop_path_rng=layer_rng if use_drop else None,
+            deterministic=deterministic,
         )
         return out, None
 
@@ -621,6 +626,7 @@ def encode_apply(
         # no-op — skip it statically.
         rng=None,
         remat_save=cfg.remat_save,
+        deterministic=deterministic,
     )
     z = layer_norm(_linear(x, params["to_code"]))
     out = _meta(patch_dict)
@@ -662,6 +668,7 @@ def decode_apply(
         drop_path_rates=dpr,
         rng=rng if use_drop else None,
         remat_save=cfg.remat_save,
+        deterministic=deterministic,
     )
     out = _meta(encode_dict)
     out["patches"] = _linear(x, params["to_pixels"])

@@ -26,8 +26,14 @@ bf16 PV operand -> fp32 accumulation), so this is a drop-in replacement for
 attention module (``vitok/models/modules/attention.py`` in
 Na-VAE/vitok-release) with NaFlex masking the reference's flash path lacks.
 
-The op is differentiable via ``jax.custom_vjp``: the backward recomputes
-the unfused composition (cheap at small N) and reuses its VJP.
+The op is differentiable via ``jax.custom_vjp``. When the shape allows
+(``can_fuse_bwd``) the backward is a second Pallas kernel with the same
+grid/plane layout that recomputes the forward in VMEM (norm, RoPE, probs)
+and backpropagates through PV/softmax/QK^T, the rotation, and the RMSNorm
+— producing the flat ``[B, N, 3C]`` qkv gradient without ever
+materializing ``[B, H, N, N]`` logits in HBM (the XLA recompute backward
+writes four of those per layer). Outside that envelope the backward falls
+back to recomputing the unfused composition and reusing its VJP.
 """
 
 from __future__ import annotations
@@ -58,8 +64,14 @@ def _vmem_estimate(n: int, cg: int) -> int:
     return 16 * n * cg + 10 * n * n
 
 
+# Backward working set: q/k/v/do in + dq/dk/dv out blocks (2x-buffered
+# bf16) plus three concurrent fp32 [N, N] temps (probs, dp, ds).
+def _vmem_estimate_bwd(n: int, cg: int) -> int:
+    return 28 * n * cg + 16 * n * n
+
+
 def _pick_group_channels(
-    c: int, d: int, n: int, lane_align: bool = True
+    c: int, d: int, n: int, lane_align: bool = True, estimate=_vmem_estimate
 ) -> int:
     """Largest per-group channel count that divides C, is a multiple of the
     head dim AND the 128-lane tile, and keeps the kernel's working set
@@ -69,10 +81,14 @@ def _pick_group_channels(
     best = 0
     cg = d
     while cg <= c:
-        if c % cg == 0 and (cg % 128 == 0 or not lane_align) and (
-            best == 0 or _vmem_estimate(n, cg) <= _VMEM_BUDGET
-        ):
-            best = cg
+        if c % cg == 0 and (cg % 128 == 0 or not lane_align):
+            if best == 0 and estimate is _vmem_estimate:
+                # Forward: always accept the smallest valid group (its
+                # working set is dominated by the N*N scores, which no
+                # group choice can shrink).
+                best = cg
+            elif estimate(n, cg) <= _VMEM_BUDGET:
+                best = cg
         cg += d
     return best
 
@@ -225,6 +241,254 @@ def _fused_fwd(
     )
 
 
+def _rotate_half_bwd(dz, cos32, sin32):
+    """Transpose of the rotate-half rotation (f32): dz [N, D] -> dy [N, D]."""
+    d2 = dz.shape[-1] // 2
+    dzr, dzi = dz[:, :d2], dz[:, d2:]
+    dyr = dzr * cos32 + dzi * sin32
+    dyi = -dzr * sin32 + dzi * cos32
+    return jnp.concatenate([dyr, dyi], axis=-1)
+
+
+def _fused_bwd_kernel(
+    qmask_ref,  # [1, 1, N] int32
+    cos_ref,    # [1, N, D//2] activation dtype
+    sin_ref,    # [1, N, D//2]
+    qs_ref,     # [1, D] f32
+    ks_ref,     # [1, D] f32
+    q_ref,      # [1, N, C_g]
+    k_ref,      # [1, N, C_g]
+    v_ref,      # [1, N, C_g]
+    do_ref,     # [1, N, C_g]
+    dq_ref,     # [1, N, C_g] out
+    dk_ref,     # [1, N, C_g] out
+    dv_ref,     # [1, N, C_g] out
+    dsc_ref,    # [1, 1, 8, D] f32 out — row 0: dq_scale partial, row 1:
+                # dk_scale partial, rows 2-7 zero (8-row pad for TPU tiling)
+    *,
+    heads_per_group: int,
+    head_dim: int,
+    sliding_window: Optional[int],
+    use_mask: bool,
+):
+    """Backward of the fused op: recompute probs in VMEM, backprop through
+    PV / softmax / QK^T, the rotation, and the fp32 RMSNorm. No [N, N]
+    tensor ever reaches HBM."""
+    n = q_ref.shape[1]
+    d = head_dim
+    inv_sqrt_d = 1.0 / (d ** 0.5)
+
+    qs = qs_ref[:, :].astype(jnp.float32)  # [1, D]
+    ks = ks_ref[:, :].astype(jnp.float32)
+    cos_b = cos_ref[0]
+    sin_b = sin_ref[0]
+    cos32 = cos_b.astype(jnp.float32)
+    sin32 = sin_b.astype(jnp.float32)
+
+    if use_mask:
+        kv_valid = qmask_ref[0, :, :] > 0  # [1, N]
+    if sliding_window is not None:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        in_window = jnp.abs(q_pos - k_pos) <= sliding_window
+
+    dqs_acc = jnp.zeros((1, d), jnp.float32)
+    dks_acc = jnp.zeros((1, d), jnp.float32)
+
+    for h in range(heads_per_group):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl]  # [N, D]
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        doh = do_ref[0, :, sl]
+
+        # --- forward recompute (same math as _fused_kernel) ---
+        q32 = qh.astype(jnp.float32)
+        k32 = kh.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.mean(q32 * q32, axis=-1, keepdims=True) + _RMS_EPS
+        )  # [N, 1]
+        rk = jax.lax.rsqrt(
+            jnp.mean(k32 * k32, axis=-1, keepdims=True) + _RMS_EPS
+        )
+        yq = q32 * rq * qs           # [N, D] f32 (pre-cast normed q)
+        yk = k32 * rk * ks
+        yqb = yq.astype(qh.dtype)
+        ykb = yk.astype(kh.dtype)
+        d2 = d // 2
+        qrot = jnp.concatenate(
+            [yqb[:, :d2] * cos_b - yqb[:, d2:] * sin_b,
+             yqb[:, :d2] * sin_b + yqb[:, d2:] * cos_b], axis=-1
+        )
+        krot = jnp.concatenate(
+            [ykb[:, :d2] * cos_b - ykb[:, d2:] * sin_b,
+             ykb[:, :d2] * sin_b + ykb[:, d2:] * cos_b], axis=-1
+        )
+
+        s = jax.lax.dot_general(
+            qrot, krot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d
+        if use_mask:
+            s = jnp.where(kv_valid, s, jnp.float32(_NEG_INF))
+        if sliding_window is not None:
+            s = jnp.where(in_window, s, jnp.float32(_NEG_INF))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [N, N] f32
+
+        # --- backward ---
+        dv = jax.lax.dot_general(
+            p.astype(vh.dtype), doh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, D]
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+        dp = jax.lax.dot_general(
+            doh, vh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, N]
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)  # [N, 1]
+        ds = p * (dp - delta) * inv_sqrt_d
+
+        dsb = ds.astype(qrot.dtype)
+        dqrot = jax.lax.dot_general(
+            dsb, krot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, D]
+        dkrot = jax.lax.dot_general(
+            dsb, qrot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        dyq = _rotate_half_bwd(dqrot, cos32, sin32)  # [N, D] f32
+        dyk = _rotate_half_bwd(dkrot, cos32, sin32)
+
+        # RMSNorm backward: y = x * r * scale, r = rsqrt(mean(x^2) + eps)
+        # dscale = sum_n dy * x * r
+        # dx = dy * scale * r - x * r^3/D * sum_d(dy * scale * x)
+        dqs_acc += jnp.sum(dyq * q32 * rq, axis=0, keepdims=True)
+        dks_acc += jnp.sum(dyk * k32 * rk, axis=0, keepdims=True)
+        gq = dyq * qs  # dy * scale
+        gk = dyk * ks
+        dq = gq * rq - q32 * (rq * rq * rq / d) * jnp.sum(
+            gq * q32, axis=-1, keepdims=True
+        )
+        dk = gk * rk - k32 * (rk * rk * rk / d) * jnp.sum(
+            gk * k32, axis=-1, keepdims=True
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+
+    dsc_ref[0, 0] = jnp.concatenate(
+        [dqs_acc, dks_acc, jnp.zeros((6, d), jnp.float32)], axis=0
+    )
+
+
+def _fused_bwd(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array],
+    do: Array,
+    num_heads: int,
+    sliding_window: Optional[int],
+    interpret: bool,
+):
+    """Pallas backward: returns (dqkv [B,N,3C], dq_scale [D], dk_scale [D])."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    cg = _pick_group_channels(
+        c, d, n, lane_align=not interpret, estimate=_vmem_estimate_bwd
+    )
+    hg = c // cg
+
+    if patch_mask is None:
+        mask = jnp.ones((b, n), jnp.int32)
+        use_mask = False
+    else:
+        mask = patch_mask.astype(jnp.int32)
+        use_mask = True
+
+    kernel = functools.partial(
+        _fused_bwd_kernel,
+        heads_per_group=cg // d,
+        head_dim=d,
+        sliding_window=sliding_window,
+        use_mask=use_mask,
+    )
+
+    d2 = d // 2
+    in_specs = [
+        pl.BlockSpec((1, 1, n), lambda bb, g: (bb, 0, 0)),    # mask
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # cos
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # sin
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # q scale
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # k scale
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),   # q plane
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, _hg + g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, 2 * _hg + g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),   # do
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),   # dq
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),   # dk
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),   # dv
+        pl.BlockSpec((1, 1, 8, d), lambda bb, g: (bb, g, 0, 0)),  # scales
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        jax.ShapeDtypeStruct((b, hg, 8, d), jnp.float32),
+    ]
+
+    dq, dk, dv, dsc_p = pl.pallas_call(
+        kernel,
+        grid=(b, hg),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        mask[:, None, :],
+        cos.astype(qkv.dtype),
+        sin.astype(qkv.dtype),
+        q_scale.reshape(1, d).astype(jnp.float32),
+        k_scale.reshape(1, d).astype(jnp.float32),
+        qkv, qkv, qkv, do,
+    )
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dqs = jnp.sum(dsc_p[:, :, 0], axis=(0, 1)).astype(q_scale.dtype)
+    dks = jnp.sum(dsc_p[:, :, 1], axis=(0, 1)).astype(k_scale.dtype)
+    return dqkv, dqs, dks
+
+
+def can_fuse_bwd(n: int, c: int, num_heads: int) -> bool:
+    """Whether the Pallas backward kernel supports this shape (stricter VMEM
+    envelope than the forward: three concurrent fp32 [N, N] temps)."""
+    d = c // num_heads
+    return (
+        _backend_is_tpu()
+        and n <= MAX_FUSED_TOKENS
+        and n % 8 == 0
+        and c % num_heads == 0
+        and d % 64 == 0
+        and _pick_group_channels(c, d, n, estimate=_vmem_estimate_bwd) > 0
+    )
+
+
 def unfused_qkv_attention(
     qkv: Array,
     q_scale: Array,
@@ -278,8 +542,27 @@ def _fused_op_fwd(qkv, q_scale, k_scale, cos, sin, patch_mask,
 
 def _fused_op_bwd(num_heads, sliding_window, res, g):
     qkv, q_scale, k_scale, cos, sin, patch_mask = res
-    # Recompute the unfused composition for the gradient (small N: the
-    # recompute is one block's attention, a few % of the block's GEMMs).
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    if patch_mask is not None:
+        # Dead-query cotangents are exactly zero in the model (padding
+        # never reaches the loss: attention masks it key-side, everything
+        # else is per-token). Zeroing them here makes the Pallas kernel
+        # (key-side mask) and the unfused fallback (two-sided mask) agree
+        # bit-for-bit at every position instead of only on valid tokens.
+        g = g * patch_mask.astype(g.dtype)[..., None]
+    if can_fuse_bwd(n, c, num_heads):
+        # Pallas backward: probs recomputed in VMEM, no [B, H, N, N]
+        # HBM materialization. cos/sin come from integer grid indices and
+        # have no upstream diff path, so their cotangents are zeros.
+        dqkv, dqs, dks = _fused_bwd(
+            qkv, q_scale, k_scale, cos, sin, patch_mask, g,
+            num_heads, sliding_window, interpret=False,
+        )
+        return (dqkv, dqs, dks,
+                jnp.zeros_like(cos), jnp.zeros_like(sin), None)
+
+    # Fallback: recompute the unfused composition and reuse its VJP.
     def f(qkv_, qs_, ks_, cos_, sin_):
         return unfused_qkv_attention(
             qkv_, qs_, ks_, cos_, sin_, patch_mask,
@@ -371,5 +654,6 @@ __all__ = [
     "fused_qkv_attention",
     "unfused_qkv_attention",
     "can_fuse",
+    "can_fuse_bwd",
     "MAX_FUSED_TOKENS",
 ]
