@@ -50,7 +50,9 @@ def main():
     # model
     ap.add_argument("--variant", default="Ld2-Ld22/1x16x64")
     ap.add_argument("--checkpoint", type=int, default=0,
-                    help="gradient-checkpoint every k-th block (0=off)")
+                    help="gradient-checkpoint every k-th block (0=off, "
+                    "-1=per-layer unrolled remat: fastest measured step "
+                    "but depth-specialized ~5min compile)")
     ap.add_argument("--remat-save", default="",
                     help="comma list of intermediates to KEEP under remat "
                     "(qkv_out,ffn_hid,attn_out); cuts the recompute tax of "

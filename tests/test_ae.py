@@ -200,7 +200,7 @@ class TestForward:
         cfg = AEConfig(**{**TINY, "sw": 0})
         assert cfg.sw is None
 
-    @pytest.mark.parametrize("k", [1, 2])
+    @pytest.mark.parametrize("k", [1, 2, -1])
     def test_grad_checkpoint_same_output(self, k):
         cfg = AEConfig(**TINY)
         cfg_ckpt = AEConfig(**{**TINY, "checkpoint": k})
@@ -212,9 +212,9 @@ class TestForward:
             np.asarray(a["patches"]), np.asarray(b["patches"]), atol=1e-6
         )
 
-    @pytest.mark.parametrize("k", [1, 2])
+    @pytest.mark.parametrize("k", [1, 2, -1])
     def test_grad_checkpoint_same_grads(self, k):
-        """Remat must not change gradients (every-k-th-block path)."""
+        """Remat must not change gradients (every-k-th / unrolled paths)."""
         cfg = AEConfig(**TINY)
         cfg_ckpt = AEConfig(**{**TINY, "checkpoint": k})
         p = init_params(cfg, jax.random.key(0))
@@ -244,8 +244,19 @@ class TestForward:
     )
     def test_remat_save_policy_same_grads(self, save):
         """save_only_these_names remat must not change outputs or grads."""
+        self._check_policy_grads(save, checkpoint=1)
+
+    def test_unrolled_remat_save_policy_same_grads(self):
+        """The unrolled per-layer remat honors the same save policy."""
+        self._check_policy_grads(
+            ("qkv_out", "ffn_hid", "attn_out"), checkpoint=-1
+        )
+
+    def _check_policy_grads(self, save, checkpoint):
         cfg = AEConfig(**TINY)
-        cfg_pol = AEConfig(**{**TINY, "checkpoint": 1, "remat_save": save})
+        cfg_pol = AEConfig(
+            **{**TINY, "checkpoint": checkpoint, "remat_save": save}
+        )
         p = init_params(cfg, jax.random.key(0))
         batch = make_batch(b=1)
 
