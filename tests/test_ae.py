@@ -200,7 +200,7 @@ class TestForward:
         cfg = AEConfig(**{**TINY, "sw": 0})
         assert cfg.sw is None
 
-    @pytest.mark.parametrize("k", [1, 2, -1])
+    @pytest.mark.parametrize("k", [1, 2, -1, -2])
     def test_grad_checkpoint_same_output(self, k):
         cfg = AEConfig(**TINY)
         cfg_ckpt = AEConfig(**{**TINY, "checkpoint": k})
@@ -212,7 +212,7 @@ class TestForward:
             np.asarray(a["patches"]), np.asarray(b["patches"]), atol=1e-6
         )
 
-    @pytest.mark.parametrize("k", [1, 2, -1])
+    @pytest.mark.parametrize("k", [1, 2, -1, -2])
     def test_grad_checkpoint_same_grads(self, k):
         """Remat must not change gradients (every-k-th / unrolled paths)."""
         cfg = AEConfig(**TINY)

@@ -524,20 +524,28 @@ def _run_block_stack(
     xs = (blocks, drop_path_rates, rngs)
 
     if checkpoint < 0:
-        # Unrolled per-layer remat: a Python loop over depth with each layer
-        # under jax.checkpoint(policy). Slicing the stacked params at trace
-        # time lets XLA fold the per-layer gathers into their use sites
-        # instead of the scan's carried dynamic-slice copies — measured
-        # 191 vs ~207 ms grads-only at 350M bs32 (save-3 policy) on v5e.
-        # Cost: compile time grows with depth (~5 min at 350M on the
-        # tunnel's remote compile helper) and the program is depth-
-        # specialized. Same capability as checkpoint=1 otherwise.
-        policy = (
-            jax.checkpoint_policies.save_only_these_names(*remat_save)
-            if remat_save
-            else jax.checkpoint_policies.nothing_saveable
-        )
-        layer = jax.checkpoint(body, policy=policy)
+        # Unrolled per-layer bodies: a Python loop over depth. Slicing the
+        # stacked params at trace time lets XLA fold the per-layer gathers
+        # into their use sites instead of the scan's carried dynamic-slice
+        # copies — measured 191 vs ~207 ms grads-only at 350M bs32 (save-3
+        # policy) on v5e. Cost: compile time grows with depth (~5 min at
+        # 350M on the tunnel's remote compile helper) and the program is
+        # depth-specialized.
+        #   -1: each layer under jax.checkpoint(policy) — per-layer remat,
+        #       same capability as checkpoint=1 otherwise;
+        #   -2: NO remat — every residual stored across the backward (the
+        #       scan-based checkpoint=0 program crashes this tunnel's
+        #       compile helper; the unrolled trace is the working no-remat
+        #       path, HBM permitting).
+        if checkpoint == -1:
+            policy = (
+                jax.checkpoint_policies.save_only_these_names(*remat_save)
+                if remat_save
+                else jax.checkpoint_policies.nothing_saveable
+            )
+            layer = jax.checkpoint(body, policy=policy)
+        else:
+            layer = body
         for i in range(depth):
             xi = jax.tree_util.tree_map(lambda a, _i=i: a[_i], xs)
             x, _ = layer(x, xi)

@@ -22,15 +22,26 @@ Memory design (per-chip activations scale ~1/S with S stages):
 * only O(1) microbatch-sized rotating buffers are replicated.
 
 The schedule runs ``m + 2S - 1`` ticks (vs. the GPipe minimum ``m + S - 1``;
-the extra ``S`` ticks drain the output ring). The reference has no pipeline
-parallelism at all (SURVEY.md §2.9). Verified numerically identical to the
-single-device decode on the virtual CPU mesh.
+the extra ``S`` ticks drain the output ring).
+
+**Training** (``pipeline_parallel_value_and_grad``) reverse-differentiates
+the same schedule: the tick loop's trip count is static so ``fori_loop``
+lowers to ``scan`` and transposes, ``ppermute``'s VJP is the inverse
+permutation (cotangents flow back *up* the stage line in the transposed
+schedule, exactly 1F1B-reversed GPipe), and each stage's block-slice
+gradient stays resident on its own chip — block grads come back **sharded
+over the pipe axis**, like the params. With ``remat=True`` (default) each
+stage's block stack recomputes in the backward, so the per-tick residuals
+are only the stage-boundary activations: the classic GPipe activation
+footprint, ~1/S per chip. The reference has no pipeline parallelism at all
+(SURVEY.md §2.9). Verified grads == single-device ``value_and_grad`` on the
+virtual CPU mesh (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +53,7 @@ Array = jax.Array
 PIPE_AXIS = "pipe"
 
 
-def _stage_apply(local_blocks, x, rope, patch_mask, cfg):
+def _stage_apply(local_blocks, x, rope, patch_mask, cfg, deterministic=True):
     """Run this stage's slice of the block stack (scan over local depth)."""
     from vitok_tpu.models.ae import _block_body
 
@@ -54,11 +65,140 @@ def _stage_apply(local_blocks, x, rope, patch_mask, cfg):
             attn_impl=cfg.attn_impl,
             drop_path_prob=jnp.float32(0.0),
             drop_path_rng=None,
+            deterministic=deterministic,
         )
         return out, None
 
     x, _ = jax.lax.scan(body, x, local_blocks)
     return x
+
+
+def _validate_layout(cfg, batch: int, n_stages: int, m: int) -> Tuple[int, int]:
+    if cfg.decoder_depth % n_stages:
+        raise ValueError(
+            f"decoder_depth {cfg.decoder_depth} not divisible by "
+            f"pipe={n_stages}"
+        )
+    if batch % m:
+        raise ValueError(f"batch {batch} not divisible by microbatches {m}")
+    if m % n_stages:
+        raise ValueError(
+            f"microbatches {m} not divisible by pipe={n_stages} "
+            "(inputs/outputs shard round-robin over stages)"
+        )
+    return m // n_stages, batch // m  # rounds, microbatch size
+
+
+def _pipeline_outputs(
+    local_blocks, embed_p, topix_p, z_local, coss, sins, masks,
+    *, cfg, S, m, rounds, n_tok, width, ppt, compute_dtype,
+    deterministic=True, remat=False,
+):
+    """Per-shard GPipe loop: ``z_local [rounds, mb, N, zdim]`` (this stage's
+    owned microbatches) → ``outputs [rounds, mb, N, ppt]`` (same ownership).
+
+    Runs inside ``shard_map`` over the ``pipe`` axis. Differentiable: the
+    trip count is static, so reverse AD transposes the ``fori_loop`` as a
+    scan and each ``ppermute`` as its inverse rotation. ``remat=True`` wraps
+    the stage's block stack in ``jax.checkpoint`` so the backward stores
+    only stage-boundary activations per tick (GPipe memory), recomputing the
+    blocks on the way back.
+    """
+    stage = jax.lax.axis_index(PIPE_AXIS)
+    is_first = stage == 0
+    is_last = stage == S - 1
+    line_perm = [(i, i + 1) for i in range(S - 1)]
+    ring_fwd = [(i, (i + 1) % S) for i in range(S)]
+    ring_bwd = [(i, (i - 1) % S) for i in range(S)]
+    mb = z_local.shape[1]
+
+    stage_fn = _stage_apply
+    if remat:
+        stage_fn = jax.checkpoint(
+            _stage_apply, static_argnums=(4, 5), prevent_cse=False
+        )
+
+    def tick(t, carry):
+        state, rotbuf, drain, outputs = carry
+        # Refill the input ring at round start: stage s loads its own
+        # microbatch t + s; after j backward rotations stage 0 holds
+        # microbatch t + j — exactly the one it must ingest at tick t+j.
+        rotbuf = jax.lax.cond(
+            t % S == 0,
+            lambda rb: z_local[jnp.clip(t // S, 0, rounds - 1)],
+            lambda rb: rb,
+            rotbuf,
+        )
+        from vitok_tpu.models.ae import _linear
+
+        inp = jnp.where(
+            is_first,
+            _linear(rotbuf.astype(compute_dtype), embed_p),
+            state,
+        )
+        # Stage s processes microbatch t - s this tick.
+        rope_idx = jnp.clip(t - stage, 0, m - 1)
+        out = stage_fn(
+            local_blocks,
+            inp,
+            (coss[rope_idx], sins[rope_idx]),
+            masks[rope_idx],
+            cfg,
+            deterministic,
+        )
+        patches = _linear(out, topix_p)
+        # Collect from the drain ring BEFORE injecting: microbatch q
+        # sits at stage s at tick q + S + s; its owner is q mod S.
+        q = t - S - stage
+        outputs = jax.lax.cond(
+            jnp.logical_and(
+                jnp.logical_and(q >= 0, q < m), q % S == stage
+            ),
+            lambda o: o.at[jnp.clip(q // S, 0, rounds - 1)].set(
+                drain.astype(o.dtype)
+            ),
+            lambda o: o,
+            outputs,
+        )
+        # Last stage injects the microbatch it just finished (t - S + 1).
+        drain = jnp.where(is_last, patches, drain)
+        # Rotate: activations down the line, drain/input around rings.
+        state = jax.lax.ppermute(out, PIPE_AXIS, line_perm)
+        drain = jax.lax.ppermute(drain, PIPE_AXIS, ring_fwd)
+        rotbuf = jax.lax.ppermute(rotbuf, PIPE_AXIS, ring_bwd)
+        return state, rotbuf, drain, outputs
+
+    state0 = jnp.zeros((mb, n_tok, width), compute_dtype)
+    rot0 = jnp.zeros_like(z_local[0])
+    drain0 = jnp.zeros((mb, n_tok, ppt), compute_dtype)
+    out0 = jnp.zeros((rounds, mb, n_tok, ppt), compute_dtype)
+    _, _, _, outputs = jax.lax.fori_loop(
+        0, m + 2 * S - 1, tick, (state0, rot0, drain0, out0)
+    )
+    return outputs
+
+
+def _microbatch_layouts(encode_dict, cfg, m: int, S: int):
+    """Split batch-level tensors into the pipeline's sharded/replicated
+    layouts: z round-robin over stages, rope/mask replicated per microbatch."""
+    from vitok_tpu.models.ae import _rope_tables
+
+    z = encode_dict["z"]
+    b = z.shape[0]
+    rounds, mb = b // m, None  # caller validated
+    mb = b // m
+    rope = _rope_tables(encode_dict, cfg.decoder_head_dim, cfg.rope_theta)
+    patch_mask = encode_dict.get("patch_mask")
+    if patch_mask is None:
+        patch_mask = jnp.ones(z.shape[:2], bool)
+    rounds = m // S
+    split = lambda a: a.reshape((m, mb) + a.shape[1:])
+    # Stage s owns microbatches r*S + s: regroup [m, ...] -> [rounds, S, ...]
+    # and shard the stage axis.
+    z_sh = split(z).reshape((rounds, S, mb) + z.shape[1:])
+    cos_micro, sin_micro = split(rope[0]), split(rope[1])
+    mask_micro = split(patch_mask)
+    return z_sh, cos_micro, sin_micro, mask_micro, split, rounds, mb
 
 
 def pipeline_parallel_decode(
@@ -77,41 +217,18 @@ def pipeline_parallel_decode(
     ``num_microbatches % n_stages == 0`` (inputs/outputs are stored sharded
     round-robin over stages).
     """
-    from vitok_tpu.models.ae import _linear, _meta, _rope_tables
+    from vitok_tpu.models.ae import _meta
 
     n_stages = mesh.shape[PIPE_AXIS]
-    if cfg.decoder_depth % n_stages:
-        raise ValueError(
-            f"decoder_depth {cfg.decoder_depth} not divisible by "
-            f"pipe={n_stages}"
-        )
     b = encode_dict["z"].shape[0]
     m = num_microbatches or n_stages
-    if b % m:
-        raise ValueError(f"batch {b} not divisible by microbatches {m}")
-    if m % n_stages:
-        raise ValueError(
-            f"microbatches {m} not divisible by pipe={n_stages} "
-            "(inputs/outputs shard round-robin over stages)"
-        )
     S = n_stages
-    rounds = m // S
+    rounds, mb = _validate_layout(cfg, b, S, m)
 
-    z = encode_dict["z"]
-    rope = _rope_tables(encode_dict, cfg.decoder_head_dim, cfg.rope_theta)
-    patch_mask = encode_dict.get("patch_mask")
-    if patch_mask is None:
-        patch_mask = jnp.ones(z.shape[:2], bool)
-
-    mb = b // m
-    split = lambda a: a.reshape((m, mb) + a.shape[1:])
-    # Stage s owns microbatches r*S + s: regroup [m, ...] -> [rounds, S, ...]
-    # and shard the stage axis.
-    z_sh = split(z).reshape((rounds, S, mb) + z.shape[1:])
-    cos_micro, sin_micro = split(rope[0]), split(rope[1])
-    mask_micro = split(patch_mask)
-
-    n_tok = z.shape[1]
+    z_sh, cos_micro, sin_micro, mask_micro, _, _, _ = _microbatch_layouts(
+        encode_dict, cfg, m, S
+    )
+    n_tok = encode_dict["z"].shape[1]
     width = cfg.decoder_width
     ppt = params["to_pixels"]["kernel"].shape[-1]
 
@@ -121,6 +238,12 @@ def pipeline_parallel_decode(
     )
     rep = jax.tree_util.tree_map(lambda _: P(), params["decoder_embed"])
     rep_tp = jax.tree_util.tree_map(lambda _: P(), params["to_pixels"])
+
+    run = functools.partial(
+        _pipeline_outputs,
+        cfg=cfg, S=S, m=m, rounds=rounds, n_tok=n_tok, width=width, ppt=ppt,
+        compute_dtype=compute_dtype,
+    )
 
     @functools.partial(
         shard_map,
@@ -133,69 +256,9 @@ def pipeline_parallel_decode(
         check_vma=False,
     )
     def run_pipeline(local_blocks, embed_p, topix_p, z_local, coss, sins, masks):
-        stage = jax.lax.axis_index(PIPE_AXIS)
-        is_first = stage == 0
-        is_last = stage == S - 1
-        line_perm = [(i, i + 1) for i in range(S - 1)]
-        ring_fwd = [(i, (i + 1) % S) for i in range(S)]
-        ring_bwd = [(i, (i - 1) % S) for i in range(S)]
-        z_local = z_local[:, 0]  # [rounds, mb, N, zdim]
-
-        def tick(t, carry):
-            state, rotbuf, drain, outputs = carry
-            # Refill the input ring at round start: stage s loads its own
-            # microbatch t + s; after j backward rotations stage 0 holds
-            # microbatch t + j — exactly the one it must ingest at tick t+j.
-            rotbuf = jax.lax.cond(
-                t % S == 0,
-                lambda rb: z_local[jnp.clip(t // S, 0, rounds - 1)],
-                lambda rb: rb,
-                rotbuf,
-            )
-            inp = jnp.where(
-                is_first,
-                _linear(rotbuf.astype(compute_dtype), embed_p),
-                state,
-            )
-            # Stage s processes microbatch t - s this tick.
-            rope_idx = jnp.clip(t - stage, 0, m - 1)
-            out = _stage_apply(
-                local_blocks,
-                inp,
-                (coss[rope_idx], sins[rope_idx]),
-                masks[rope_idx],
-                cfg,
-            )
-            patches = _linear(out, topix_p)
-            # Collect from the drain ring BEFORE injecting: microbatch q
-            # sits at stage s at tick q + S + s; its owner is q mod S.
-            q = t - S - stage
-            outputs = jax.lax.cond(
-                jnp.logical_and(
-                    jnp.logical_and(q >= 0, q < m), q % S == stage
-                ),
-                lambda o: o.at[jnp.clip(q // S, 0, rounds - 1)].set(
-                    drain.astype(o.dtype)
-                ),
-                lambda o: o,
-                outputs,
-            )
-            # Last stage injects the microbatch it just finished (t - S + 1).
-            drain = jnp.where(is_last, patches, drain)
-            # Rotate: activations down the line, drain/input around rings.
-            state = jax.lax.ppermute(out, PIPE_AXIS, line_perm)
-            drain = jax.lax.ppermute(drain, PIPE_AXIS, ring_fwd)
-            rotbuf = jax.lax.ppermute(rotbuf, PIPE_AXIS, ring_bwd)
-            return state, rotbuf, drain, outputs
-
-        state0 = jnp.zeros((mb, n_tok, width), compute_dtype)
-        rot0 = jnp.zeros_like(z_local[0])
-        drain0 = jnp.zeros((mb, n_tok, ppt), compute_dtype)
-        out0 = jnp.zeros((rounds, mb, n_tok, ppt), compute_dtype)
-        _, _, _, outputs = jax.lax.fori_loop(
-            0, m + 2 * S - 1, tick, (state0, rot0, drain0, out0)
+        return run(
+            local_blocks, embed_p, topix_p, z_local[:, 0], coss, sins, masks
         )
-        return outputs
 
     y = run_pipeline(
         blocks, params["decoder_embed"], params["to_pixels"],
@@ -211,4 +274,142 @@ def pipeline_parallel_decode(
     return out
 
 
-__all__ = ["pipeline_parallel_decode", "PIPE_AXIS"]
+def pipeline_parallel_value_and_grad(
+    params,
+    encode_dict: Dict[str, Array],
+    target_patches: Array,
+    cfg,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
+    charbonnier_eps: float = 1e-3,
+    remat: bool = True,
+):
+    """Charbonnier reconstruction loss + grads through the pipelined decoder.
+
+    The training side of pipeline parallelism: reverse AD transposes the
+    GPipe schedule in place (cotangents ``ppermute`` back up the stage
+    line), so each chip computes and **keeps** the gradient of its own
+    ``depth/S`` block slice — decoder-block grads return sharded over
+    ``pipe`` exactly like the params, ready for a stage-local optimizer
+    step. ``decoder_embed`` / ``to_pixels`` grads are psum-replicated, and
+    the latent cotangent ``dz`` is returned so an encoder running outside
+    the pipeline (data/tensor-parallel) can chain its backward. The
+    reference has no pipeline training (SURVEY §2.9).
+
+    Runs deterministic (no drop-path): stochastic depth inside the rotating
+    schedule would need per-(microbatch, layer) rng plumbing; the reference
+    finetunes at high res with drop_path_rate=0, the one regime where a
+    pipelined decoder matters.
+
+    Returns:
+        ``(loss, grads, dz)`` — scalar loss; ``grads`` keyed
+        ``decoder_blocks`` (pipe-sharded), ``decoder_embed``, ``to_pixels``;
+        ``dz [B, N, zdim]``.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    b = encode_dict["z"].shape[0]
+    m = num_microbatches or n_stages
+    S = n_stages
+    rounds, mb = _validate_layout(cfg, b, S, m)
+
+    z_sh, cos_micro, sin_micro, mask_micro, split, _, _ = _microbatch_layouts(
+        encode_dict, cfg, m, S
+    )
+    z = encode_dict["z"]
+    n_tok = z.shape[1]
+    width = cfg.decoder_width
+    ppt = params["to_pixels"]["kernel"].shape[-1]
+
+    # Targets and loss mask live in the same round-robin stage layout as z.
+    tgt_sh = split(target_patches).reshape(
+        (rounds, S, mb) + target_patches.shape[1:]
+    )
+    lmask_sh = mask_micro.reshape((rounds, S, mb, n_tok))
+
+    blocks = params["decoder_blocks"]
+    block_specs = jax.tree_util.tree_map(
+        lambda leaf: P(*((PIPE_AXIS,) + (None,) * (leaf.ndim - 1))), blocks
+    )
+    rep = jax.tree_util.tree_map(lambda _: P(), params["decoder_embed"])
+    rep_tp = jax.tree_util.tree_map(lambda _: P(), params["to_pixels"])
+
+    run = functools.partial(
+        _pipeline_outputs,
+        cfg=cfg, S=S, m=m, rounds=rounds, n_tok=n_tok, width=width, ppt=ppt,
+        compute_dtype=compute_dtype, deterministic=False, remat=remat,
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            block_specs, rep, rep_tp,
+            P(None, PIPE_AXIS), P(None, PIPE_AXIS), P(None, PIPE_AXIS),
+            P(), P(), P(),
+        ),
+        out_specs=(
+            P(), block_specs, rep, rep_tp, P(None, PIPE_AXIS),
+        ),
+        check_vma=False,
+    )
+    def local_vjg(
+        local_blocks, embed_p, topix_p, z_local, tgt_local, lmask_local,
+        coss, sins, masks,
+    ):
+        tgt = tgt_local[:, 0].astype(jnp.float32)  # [rounds, mb, N, ppt]
+        m0 = lmask_local[:, 0].astype(jnp.float32)  # [rounds, mb, N]
+
+        def loss_fn(bl, ep, tp, zl):
+            outputs = run(bl, ep, tp, zl[:, 0], coss, sins, masks)
+            diff = outputs.astype(jnp.float32) - tgt
+            per_token = jnp.mean(
+                jnp.sqrt(diff * diff + charbonnier_eps * charbonnier_eps),
+                axis=-1,
+            )  # [rounds, mb, N]
+            per_image = jnp.sum(per_token * m0, axis=-1) / jnp.maximum(
+                jnp.sum(m0, axis=-1), 1.0
+            )
+            # LOCAL partial of the global batch mean: this stage owns
+            # rounds*mb of the b images; summing partials over stages
+            # (psum below) completes charbonnier_loss exactly.
+            return jnp.sum(per_image) / b
+
+        loss_local, (g_bl, g_ep, g_tp, g_z) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3)
+        )(local_blocks, embed_p, topix_p, z_local)
+        loss = jax.lax.psum(loss_local, PIPE_AXIS)
+        # Block grads are stage-local by construction (no psum: each stage
+        # differentiates only its own slice). embed/to_pixels run on every
+        # stage but only one stage's result is consumed (jnp.where), so the
+        # other stages' cotangents are exact zeros — psum assembles the
+        # replicated grad. z grads stay in the round-robin owner layout.
+        g_ep = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, PIPE_AXIS), g_ep
+        )
+        g_tp = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, PIPE_AXIS), g_tp
+        )
+        return loss, g_bl, g_ep, g_tp, g_z
+
+    # jit is required (not just advisable): the remat closed_call cannot be
+    # evaluated eagerly inside shard_map. Callers jitting the enclosing train
+    # step just reuse this trace.
+    loss, g_blocks, g_embed, g_topix, g_z = jax.jit(local_vjg)(
+        blocks, params["decoder_embed"], params["to_pixels"],
+        z_sh, tgt_sh, lmask_sh, cos_micro, sin_micro, mask_micro,
+    )
+    dz = g_z.reshape((b,) + z.shape[1:])
+    grads = {
+        "decoder_blocks": g_blocks,
+        "decoder_embed": g_embed,
+        "to_pixels": g_topix,
+    }
+    return loss, grads, dz
+
+
+__all__ = [
+    "pipeline_parallel_decode",
+    "pipeline_parallel_value_and_grad",
+    "PIPE_AXIS",
+]
