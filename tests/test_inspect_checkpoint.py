@@ -43,7 +43,7 @@ def test_keys_dump(artifacts):
     full, _ = artifacts
     r = _run("keys", full)
     assert r.returncode == 0, r.stderr
-    assert "encoder_blocks.0.attn.qkv.weight" in r.stdout
+    assert "encoder_blocks.0.attn.qkv_proj.weight" in r.stdout
     assert r.stdout.strip().endswith("tensors")
 
 
@@ -77,6 +77,11 @@ def test_diff_encoder_half(artifacts):
 
 def test_diff_wrong_variant(artifacts):
     full, _ = artifacts
+    # Artifact decoder is DEEPER than this variant expects -> EXTRA keys.
     r = _run("diff", full, "--variant", "w256_d2_h4-w256_d2_h4/1x16x16")
     assert r.returncode == 1
-    assert "MISSING" in r.stdout or "SHAPE" in r.stdout
+    assert "EXTRA" in r.stdout
+    # Wider variant -> SHAPE mismatches on every shared tensor.
+    r = _run("diff", full, "--variant", "w512_d2_h4-w512_d4_h4/1x16x32")
+    assert r.returncode == 1
+    assert "SHAPE" in r.stdout
