@@ -234,9 +234,90 @@ def sequence_parallel_value_and_grad(
     return local_value_and_grad(params, patch_dict)
 
 
+def place_batch_token_sharded(batch: Dict[str, Array], mesh: Mesh):
+    """Device-put a NaFlex batch with the token axis sharded over ``seq``.
+
+    Matches the specs ``sequence_parallel_*`` expect: ``[B, N, ...]``
+    tensors split on axis 1, 1-D/None metadata replicated.
+    """
+    from jax.sharding import NamedSharding
+
+    specs = _seq_specs(batch)
+    return {
+        k: (
+            v
+            if v is None
+            else jax.device_put(v, NamedSharding(mesh, specs[k]))
+        )
+        for k, v in batch.items()
+    }
+
+
+def make_sp_train_step(
+    cfg,
+    tx,
+    mesh: Mesh,
+    ema_decay: float = 0.999,
+    compute_dtype=jnp.bfloat16,
+    charbonnier_eps: float = 1e-3,
+    stochastic: bool = False,
+    donate: bool = True,
+):
+    """Build a jitted token-sharded train step ``(state, batch, rng)``.
+
+    The high-res finetune step (SURVEY §5.7 regime): the Charbonnier
+    reconstruction backward runs token-sharded over the ``seq`` mesh axis
+    via ``sequence_parallel_value_and_grad`` (grads come back replicated),
+    then the standard optax update + fp32 EMA — the same state layout as
+    ``train_lib.make_train_step``, so Orbax checkpoints interchange.
+
+    ``stochastic=True`` threads the per-step rng through the forward for
+    stochastic depth; every token shard derives the identical per-sample
+    gates (the rng is replicated), which is exactly what correctness
+    requires — a sample is either dropped on all of its token shards or
+    none.
+    """
+    import optax
+
+    from vitok_tpu.train_lib import TrainState, update_ema
+
+    def step(state: TrainState, batch: Dict[str, Array], rng):
+        step_rng = (
+            jax.random.fold_in(rng, state.step) if stochastic else None
+        )
+        loss, grads = sequence_parallel_value_and_grad(
+            state.params, batch, cfg, mesh,
+            compute_dtype=compute_dtype,
+            charbonnier_eps=charbonnier_eps,
+            rng=step_rng,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            update_ema(state.ema_params, new_params, ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        metrics = {
+            "loss/total": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 __all__ = [
     "halo_attention",
     "sequence_parallel_forward",
     "sequence_parallel_value_and_grad",
+    "place_batch_token_sharded",
+    "make_sp_train_step",
     "SEQ_AXIS",
 ]
