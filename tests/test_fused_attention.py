@@ -103,6 +103,29 @@ class TestFusedAttentionParity:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_slab_path_d64(self, dtype):
+        # d=64 routes through the two-head 128-lane slab (full-width VPU
+        # norm+RoPE via segment/permutation matmuls) — must match the
+        # unfused composition under mask + sliding window too.
+        qkv, qs, ks, cos, sin = make_inputs(
+            b=2, n=64, heads=4, d=64, dtype=dtype
+        )
+        mask = jnp.asarray(
+            np.arange(64)[None, :] < np.array([[64], [37]]), bool
+        )
+        got = fused_interp(qkv, qs, ks, cos, sin, mask, heads=4, sw=9)
+        want = fa.unfused_qkv_attention(
+            qkv, qs, ks, cos, sin, mask, 4, 9, attn_impl="xla"
+        )
+        tol = 1e-5 if dtype == jnp.float32 else 2e-2
+        m = np.asarray(mask)[..., None]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32) * m,
+            np.asarray(want, np.float32) * m,
+            atol=tol, rtol=tol,
+        )
+
     def test_head_dim_64_and_128_shapes(self):
         # The model head dims (350M: 64, 5B: 128) at a reduced token count.
         for heads, d in [(2, 64), (2, 128)]:

@@ -110,6 +110,67 @@ def _norm_rope_half(x, scale, cos_b, sin_b):
     )
 
 
+_PACK_W = 128  # packed-path slab width: one full VPU lane tile
+
+
+def _pack_constants(d: int, scale, cos_b, sin_b, dtype):
+    """Constant operands for the packed norm+RoPE over a 128-lane slab
+    holding ``128 // d`` heads (d in {64, 128}).
+
+    Returns ``(scale_w [1, W] f32, cos_ext [N, W], sin_sgn [N, W],
+    s_mat [W, W] f32)`` where ``s_mat`` is the block-diagonal segment-sum
+    matrix (``W//d`` all-ones D x D blocks) that computes each head's
+    sum(x^2) on the MXU instead of a cross-lane VPU reduction.
+    """
+    w = _PACK_W
+    reps = w // d
+    li = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    s_mat = ((li // d) == (lj // d)).astype(jnp.float32)
+    scale_w = jnp.concatenate([scale] * reps, axis=-1)  # [1, W] f32
+    # Rotate-half tables over the slab: per D-segment the lane layout is
+    # [xr (D/2) | xi (D/2)]; cos multiplies in place, sin multiplies the
+    # half-swapped value with sign [-,+].
+    cos_ext = jnp.concatenate([cos_b, cos_b] * reps, axis=-1)
+    sin_sgn = jnp.concatenate([-sin_b, sin_b] * reps, axis=-1)
+    return scale_w, cos_ext.astype(dtype), sin_sgn.astype(dtype), s_mat
+
+
+def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int):
+    """Full-width RMSNorm + rotate-half RoPE over a 128-lane head slab.
+
+    Numerically equivalent to ``_norm_rope_half`` per head (same op
+    order; the per-head sum(x^2) runs as a HIGHEST-precision f32 matmul
+    against the block-ones matrix, and the half-swap is an exact
+    permutation matmul). Exists because the per-head path costs either
+    half-idle VPU lanes (d=64 — measured ~48% of the 350M decoder loop,
+    BASELINE_NOTE.md round 3) or log-tree cross-lane reductions and
+    half-lane slice/concat shuffles (d=128).
+    """
+    x32 = x.astype(jnp.float32)
+    seg = jax.lax.dot_general(
+        x32 * x32, s_mat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [N, W]: each lane holds its head's sum(x^2)
+    y = x32 * jax.lax.rsqrt(seg / d + _RMS_EPS) * scale_w
+    yb = y.astype(x.dtype)
+    d2 = d // 2
+    # Half-swap within each D-segment ([xr|xi] -> [xi|xr]) as an exact
+    # permutation matmul (one nonzero per column -> bit-exact copy).
+    w = _PACK_W
+    li = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    perm = ((li // d) == (lj // d)) & ((lj % d) == ((li + d2) % d))
+    ysw = jax.lax.dot_general(
+        yb, perm.astype(yb.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return yb * cos_ext + ysw * sin_sgn
+
+
 def _fused_kernel(
     qmask_ref,  # [1, 1, N] int32 (1 = valid) — key/query validity
     cos_ref,    # [1, N, D//2] in the activation dtype
@@ -144,35 +205,66 @@ def _fused_kernel(
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         in_window = jnp.abs(q_pos - k_pos) <= sliding_window
 
-    for h in range(heads_per_group):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0, :, sl]  # [N, D]
-        kh = k_ref[0, :, sl]
-        vh = v_ref[0, :, sl]
+    # d == 64 routes norm+RoPE through 128-lane packed slabs: the
+    # elementwise chains run full-width and the per-head reductions/
+    # half-swaps move to the MXU (see _norm_rope_packed). d == 128 stays
+    # on the per-head path: its packed variant (identical code, one head
+    # per slab) crashes this tunnel's remote TPU compile helper
+    # (HTTP 500), and its elementwise chains are already full-width.
+    packed = d == 64 and (heads_per_group * d) % _PACK_W == 0
+    if packed:
+        qconst = _pack_constants(d, qs, cos_b, sin_b, q_ref.dtype)
+        kconst = _pack_constants(d, ks, cos_b, sin_b, k_ref.dtype)
 
-        q = _norm_rope_half(qh, qs, cos_b, sin_b)
-        k = _norm_rope_half(kh, ks, cos_b, sin_b)
+    # softmax(s/sqrt(d)) == exp2((s * c) - rowmax(s * c)) row-normalized
+    # with c = log2(e)/sqrt(d): folding log2e into the existing score scale
+    # saves one [N, N] VPU pass per head (XLA lowers exp as exp2(x*log2e)
+    # anyway), and the row normalization moves from the [N, N] probs to the
+    # [N, D] output (another full-width pass saved).
+    score_scale = jnp.float32(inv_sqrt_d * 1.4426950408889634)
 
+    def _attend_one(q, k, vh):
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * inv_sqrt_d  # [N, N] f32
+        ) * score_scale  # [N, N] f32, in log2 units
         if use_mask:
             s = jnp.where(kv_valid, s, jnp.float32(_NEG_INF))
         if sliding_window is not None:
             s = jnp.where(in_window, s, jnp.float32(_NEG_INF))
-
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l
         o = jax.lax.dot_general(
             p.astype(vh.dtype), vh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [N, D] f32
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        )  # [N, D] f32, unnormalized
+        return o / l
+
+    if packed:
+        for si in range((heads_per_group * d) // _PACK_W):
+            sl2 = slice(si * _PACK_W, (si + 1) * _PACK_W)
+            q2 = _norm_rope_packed(q_ref[0, :, sl2], *qconst, d)
+            k2 = _norm_rope_packed(k_ref[0, :, sl2], *kconst, d)
+            v2 = v_ref[0, :, sl2]
+            if d == _PACK_W:  # one head fills the slab
+                o = _attend_one(q2, k2, v2)
+                o_ref[0, :, sl2] = o.astype(o_ref.dtype)
+            else:  # two d=64 heads per slab
+                o1 = _attend_one(q2[:, :d], k2[:, :d], v2[:, :d])
+                o2 = _attend_one(q2[:, d:], k2[:, d:], v2[:, d:])
+                o_ref[0, :, sl2] = jnp.concatenate(
+                    [o1, o2], axis=-1
+                ).astype(o_ref.dtype)
+    else:
+        for h in range(heads_per_group):
+            sl = slice(h * d, (h + 1) * d)
+            q = _norm_rope_half(q_ref[0, :, sl], qs, cos_b, sin_b)
+            k = _norm_rope_half(k_ref[0, :, sl], ks, cos_b, sin_b)
+            o = _attend_one(q, k, v_ref[0, :, sl])
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _fused_fwd(
@@ -190,6 +282,8 @@ def _fused_fwd(
     c = c3 // 3
     d = c // num_heads
     cg = _pick_group_channels(c, d, n, lane_align=not interpret)
+    if d == 64 and cg == d and c % (2 * d) == 0:
+        cg = 2 * d  # pair d=64 heads per 128-lane slab (see _norm_rope_slab)
     hg = c // cg  # head groups
 
     if patch_mask is None:
