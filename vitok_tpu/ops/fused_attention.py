@@ -148,10 +148,21 @@ def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int):
     half-lane slice/concat shuffles (d=128).
     """
     x32 = x.astype(jnp.float32)
+    # Per-head sum(x^2) as TWO default-precision (1-pass bf16) matmuls on an
+    # exact hi/lo split of x^2: hi = bf16(x^2), lo = x^2 - hi (exact in f32,
+    # and itself bf16-representable to ~2^-17 relative). The 0/1 segment
+    # matrix is exact in bf16, so the summed product carries ~2^-17 relative
+    # error on the variance — far below the bf16 output grid. The previous
+    # HIGHEST-precision form (6-pass bf16 emulation; Mosaic supports only
+    # DEFAULT/HIGHEST) was ~half the megakernel's per-cell MXU work at d=64.
+    x2 = x32 * x32
+    x2_hi = x2.astype(jnp.bfloat16).astype(jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
     seg = jax.lax.dot_general(
-        x32 * x32, s_mat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        x2_hi, s_mat, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        x2 - x2_hi, s_mat, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )  # [N, W]: each lane holds its head's sum(x^2)
     y = x32 * jax.lax.rsqrt(seg / d + _RMS_EPS) * scale_w
