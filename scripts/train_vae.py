@@ -69,6 +69,12 @@ def main():
         "--bs", type=int, default=32,
         help="per-process batch size (global batch = bs x num processes)",
     )
+    ap.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="microbatch accumulation: split each bs-sized batch into this "
+             "many sequential microbatches (one optimizer update per step; "
+             "peak activation memory ~ bs/grad_accum)",
+    )
     # optimization
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -232,7 +238,8 @@ def main():
                   f"({'weights=' + src if src else 'RANDOM INIT'})")
 
     train_step = make_train_step(
-        cfg, tx, loss_cfg, ema_decay=args.ema_decay, feature_fn=feature_fn
+        cfg, tx, loss_cfg, ema_decay=args.ema_decay, feature_fn=feature_fn,
+        grad_accum=args.grad_accum,
     )
 
     wandb_run = None

@@ -221,6 +221,73 @@ class TestPerceptualLoss:
         assert np.isfinite(float(loss))
 
 
+class TestGradAccum:
+    def _setup(self, grad_accum, b=4):
+        from vitok_tpu.train_lib import make_train_step
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(create_schedule("constant", 3e-4, 100))
+        state = create_train_state(params, tx)
+        step = make_train_step(
+            cfg, tx, LossConfig(ssim_grid=None),
+            compute_dtype=jnp.float32, donate=False,
+            grad_accum=grad_accum,
+        )
+        return state, step, make_batch(b=b, n=16, grid=(4, 4))
+
+    def test_matches_full_batch(self):
+        # Equal valid counts per microbatch -> averaged microbatch grads
+        # equal the full-batch grad exactly (up to reduction order).
+        state1, step1, batch = self._setup(1)
+        state2, step2, _ = self._setup(2)
+        s1, m1 = step1(state1, batch, jax.random.key(3))
+        s2, m2 = step2(state2, batch, jax.random.key(3))
+        err = max(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1.params),
+                jax.tree_util.tree_leaves(s2.params),
+            )
+        )
+        assert err < 1e-6, f"accumulated params diverge: {err}"
+        assert float(m1["loss/total"]) == pytest.approx(
+            float(m2["loss/total"]), rel=1e-5
+        )
+        assert float(m1["grad_norm"]) == pytest.approx(
+            float(m2["grad_norm"]), rel=1e-4
+        )
+
+    def test_uneven_masks_still_finite(self):
+        from vitok_tpu.train_lib import make_train_step
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(create_schedule("constant", 3e-4, 100))
+        state = create_train_state(params, tx)
+        step = make_train_step(
+            cfg, tx, LossConfig(ssim_grid=None),
+            compute_dtype=jnp.float32, donate=False, grad_accum=2,
+        )
+        batch = make_batch(b=4, n=16, grid=(4, 4), valid=11)
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss/total"]))
+        assert int(state.step) == 1
+
+    def test_indivisible_batch_raises(self):
+        state, step, batch = self._setup(3, b=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, batch, jax.random.key(0))
+
+    def test_bad_accum_raises(self):
+        from vitok_tpu.train_lib import make_train_step
+
+        cfg = AEConfig(**TINY)
+        tx = create_optimizer(create_schedule("constant", 3e-4, 100))
+        with pytest.raises(ValueError, match="grad_accum"):
+            make_train_step(cfg, tx, grad_accum=0)
+
+
 class TestCheckpoint:
     def test_orbax_roundtrip(self, tmp_path):
         from vitok_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

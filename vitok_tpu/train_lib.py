@@ -284,21 +284,82 @@ def make_train_step(
     feature_fn: Optional[Callable[[Array], Array]] = None,
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
+    grad_accum: int = 1,
 ):
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
     Pure function of pytrees — pjit-shardable by passing sharded state/batch;
     XLA derives the collective schedule from the input shardings.
+
+    ``grad_accum > 1`` splits the batch into that many microbatches along
+    axis 0 (must divide the batch size) and averages their gradients in
+    fp32 under one ``lax.scan`` before a single optimizer update — peak
+    activation memory drops to one microbatch's worth at the cost of a
+    params-sized fp32 accumulator. Each microbatch loss is its own masked
+    mean, so the averaged gradient equals the full-batch gradient exactly
+    when microbatches hold equal valid-token counts (always true for
+    fixed-grid batches) and matches torch-style ``loss/accum`` semantics
+    otherwise. The reference has no accumulation path (its effective batch
+    scales only with GPU count, train_vae.py:62); this exists so one chip
+    can train reference-scale global batches.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
 
     def step(state: TrainState, batch: Dict[str, Array], rng: Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(
-            state.params, batch, cfg, loss_cfg, step_rng,
-            feature_fn=feature_fn, compute_dtype=compute_dtype,
-        )
+        if grad_accum == 1:
+            (loss, metrics), grads = grad_fn(
+                state.params, batch, cfg, loss_cfg, step_rng,
+                feature_fn=feature_fn, compute_dtype=compute_dtype,
+            )
+        else:
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % grad_accum:
+                raise ValueError(
+                    f"batch size {b} not divisible by grad_accum {grad_accum}"
+                )
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+                ),
+                batch,
+            )
+
+            def micro_grads(mb, i):
+                (_, m), g = grad_fn(
+                    state.params, mb, cfg, loss_cfg,
+                    jax.random.fold_in(step_rng, i),
+                    feature_fn=feature_fn, compute_dtype=compute_dtype,
+                )
+                return m, jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), g
+                )
+
+            m0, g0 = micro_grads(
+                jax.tree_util.tree_map(lambda x: x[0], micro), 0
+            )
+
+            def body(carry, xs):
+                mb, i = xs
+                m, g = micro_grads(mb, i)
+                return (
+                    jax.tree_util.tree_map(jnp.add, carry[0], g),
+                    jax.tree_util.tree_map(jnp.add, carry[1], m),
+                ), None
+
+            (gacc, macc), _ = jax.lax.scan(
+                body,
+                (g0, m0),
+                (
+                    jax.tree_util.tree_map(lambda x: x[1:], micro),
+                    jnp.arange(1, grad_accum),
+                ),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gacc)
+            metrics = jax.tree_util.tree_map(lambda m: m / grad_accum, macc)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = (
