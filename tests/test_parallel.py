@@ -156,6 +156,55 @@ class TestShardedTrainStep:
         assert losses[-1] < losses[0], losses
 
 
+class TestShardedGradAccum:
+    def test_sharded_accum_matches_single_device(self):
+        # grad_accum reshapes the dp-sharded batch axis to
+        # (accum, micro); the resulting params must still equal the
+        # unsharded full-batch step.
+        from vitok_tpu.train_lib import (
+            LossConfig,
+            create_optimizer,
+            create_schedule,
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = AEConfig(**TINY)
+        batch = make_batch(b=16, n=16, grid=(4, 4))
+
+        def run(sharded: bool, grad_accum: int):
+            params = init_params(cfg, jax.random.key(0))
+            tx = create_optimizer(
+                create_schedule("constant", 3e-4, 100, warmup_frac=0.0)
+            )
+            b = dict(batch)
+            if sharded:
+                mesh = create_mesh({"data": 8})
+                params = shard_params(params, mesh)
+                b = shard_batch(b, mesh)
+            state = create_train_state(params, tx, ema=False)
+            step = make_train_step(
+                cfg, tx, LossConfig(), compute_dtype=jnp.float32,
+                donate=False, grad_accum=grad_accum,
+            )
+            state, metrics = step(state, b, jax.random.key(1))
+            return state.params, float(metrics["loss/total"])
+
+        ref_params, ref_loss = run(sharded=False, grad_accum=1)
+        acc_params, acc_loss = run(sharded=True, grad_accum=2)
+        assert acc_loss == pytest.approx(ref_loss, rel=1e-5)
+        err = max(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(ref_params),
+                jax.tree_util.tree_leaves(acc_params),
+            )
+        )
+        # fp32 microbatch averaging reorders the gradient summation, so
+        # allow a few ulps of drift after the optimizer update.
+        assert err < 1e-5, f"sharded grad-accum params diverge: {err}"
+
+
 class TestDistributedMetrics:
     def test_psum_mean_matches_global(self):
         """Distributed mean/cov reduction pattern (metrics parity check)."""
