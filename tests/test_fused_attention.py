@@ -252,3 +252,44 @@ class TestPallasBwdKernel:
         )
         assert 0 < cg < 8 * 64
         self._check(b=2, n=32, heads=8, d=64)
+
+
+class TestRoutingGates:
+    """Pin the megakernel routing contract (`can_fuse` / `can_fuse_bwd`).
+
+    The backend check is monkeypatched to True so the SHAPE gates are
+    testable on CPU; a regression here silently de-routes (perf loss) or
+    mis-routes (remote-compile crash at d=128-packed — CLAUDE.md) the
+    inference path, which no numerics test would catch.
+    """
+
+    def _tpu(self, monkeypatch):
+        monkeypatch.setattr(fa, "_backend_is_tpu", lambda: True)
+
+    def test_shape_gates(self, monkeypatch):
+        self._tpu(monkeypatch)
+        # The north-star configs route to the kernel.
+        assert fa.can_fuse(256, 1024, 16)          # 350M @256p (d=64)
+        assert fa.can_fuse(1024, 1024, 16)         # 350M @512p
+        assert fa.can_fuse(256, 3072, 24)          # 5B @256p (d=128)
+        assert fa.can_fuse(1024, 3072, 24)         # 5B @512p
+        # Above the token cap -> flash/XLA path.
+        assert not fa.can_fuse(fa.MAX_FUSED_TOKENS + 8, 1024, 16)
+        # Ragged rows and non-multiple-of-64 head dims stay unfused.
+        assert not fa.can_fuse(252, 1024, 16)      # n % 8
+        assert not fa.can_fuse(256, 96 * 16, 16)   # d = 96
+        assert not fa.can_fuse(256, 1024, 7)       # c % heads
+
+    def test_bwd_gate_is_stricter_never_looser(self, monkeypatch):
+        self._tpu(monkeypatch)
+        for n, c, h in [
+            (256, 1024, 16), (1024, 1024, 16), (256, 3072, 24),
+            (1024, 3072, 24), (252, 1024, 16), (256, 96 * 16, 16),
+            (2048, 1024, 16),
+        ]:
+            if fa.can_fuse_bwd(n, c, h):
+                assert fa.can_fuse(n, c, h), (n, c, h)
+
+    def test_off_tpu_gate_closed(self):
+        assert not fa.can_fuse(256, 1024, 16)
+        assert not fa.can_fuse_bwd(256, 1024, 16)
