@@ -37,6 +37,29 @@ class TestBucketing:
         assert (64, 2) in shapes          # full small-bucket batch
         assert any(bk == 256 for bk, _ in batches)
 
+    def test_run_preserves_stream_order(self):
+        """Outputs come back in GLOBAL input order even when the stream
+        interleaves buckets (batches execute bucket-grouped internally)."""
+        model = AE(**decode_variant("w64_d2_h2-w64_d2_h2/1x16x8"), attn_impl="xla")
+        pipe = ServingPipeline(model, buckets=(64, 256), batch_size=2)
+        # Alternate small (64-token) and large (256-bucket) images so the
+        # bucket-grouped execution order differs from stream order.
+        sizes = [(128, 128), (256, 256), (96, 64), (320, 192), (64, 128)]
+        inputs = [img(w, h, seed=i) for i, (w, h) in enumerate(sizes)]
+        outs = pipe.run(inputs)
+        assert len(outs) == len(inputs)
+        for o, (w, h) in zip(outs, sizes):
+            assert o.shape == (3, h, w), (o.shape, (3, h, w))
+
+    def test_batch_stream_with_indices(self):
+        b = TokenBucketer(patch=16, buckets=(64, 256))
+        imgs = [img(128, 128, 0), img(256, 256, 1), img(128, 128, 2)]
+        triples = list(b.batch_stream(imgs, batch_size=2, with_indices=True))
+        seen = sorted(i for _, _, idx in triples for i in idx)
+        assert seen == [0, 1, 2]
+        for _, d, idx in triples:
+            assert d["patches"].shape[0] == len(idx)
+
     def test_pipeline_end_to_end(self):
         model = AE(**decode_variant("w64_d2_h2-w64_d2_h2/1x16x8"), attn_impl="xla")
         pipe = ServingPipeline(model, buckets=(64, 256), batch_size=2)

@@ -62,23 +62,33 @@ class TokenBucketer:
         return bucket, patchify_array(arr, self.patch, bucket)
 
     def batch_stream(
-        self, images: Iterable, batch_size: int = 8, flush: bool = True
+        self, images: Iterable, batch_size: int = 8, flush: bool = True,
+        with_indices: bool = False,
     ):
         """Group an image stream into per-bucket collated batches.
 
-        Yields ``(bucket, batch_dict)``; each batch has a single static
-        (batch_size-or-smaller, bucket) shape, so at most
-        ``len(buckets)`` XLA programs per batch size are compiled.
+        Yields ``(bucket, batch_dict)`` — or ``(bucket, batch_dict,
+        indices)`` when ``with_indices`` is set, where ``indices`` are the
+        positions of the batch rows in the input stream (batches are emitted
+        bucket-grouped, NOT in stream order). Each batch has a single static
+        (batch_size-or-smaller, bucket) shape, so at most ``len(buckets)``
+        XLA programs per batch size are compiled.
         """
         pending: Dict[int, List[dict]] = {}
-        for img in images:
+        pending_idx: Dict[int, List[int]] = {}
+        for i, img in enumerate(images):
             bucket, d = self.prepare(img)
             pending.setdefault(bucket, []).append(d)
+            pending_idx.setdefault(bucket, []).append(i)
             if len(pending[bucket]) == batch_size:
-                yield bucket, patch_collate_fn(pending.pop(bucket))
+                batch = patch_collate_fn(pending.pop(bucket))
+                idx = pending_idx.pop(bucket)
+                yield (bucket, batch, idx) if with_indices else (bucket, batch)
         if flush:
             for bucket, ds in sorted(pending.items()):
-                yield bucket, patch_collate_fn(ds)
+                batch = patch_collate_fn(ds)
+                idx = pending_idx[bucket]
+                yield (bucket, batch, idx) if with_indices else (bucket, batch)
 
 
 class ServingPipeline:
@@ -113,12 +123,14 @@ class ServingPipeline:
 
     def run(self, images: Iterable) -> List[np.ndarray]:
         """Encode+decode a stream; returns per-image reconstructions
-        ([C, H, W], original sizes), input order preserved per bucket group."""
+        ([C, H, W], original sizes) in GLOBAL input order — batches execute
+        bucket-grouped internally, but each output lands back at its
+        stream position."""
         from vitok_tpu.pp.io import postprocess
 
-        results: List[np.ndarray] = []
-        for bucket, batch in self.bucketer.batch_stream(
-            images, self.batch_size
+        results: Dict[int, np.ndarray] = {}
+        for bucket, batch, indices in self.bucketer.batch_stream(
+            images, self.batch_size, with_indices=True
         ):
             padded, n_real = self._pad_batch(batch)
             jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
@@ -127,8 +139,9 @@ class ServingPipeline:
                 dict(out), output_format="minus_one_to_one", do_unpack=True,
                 patch=self.bucketer.patch,
             )
-            results.extend(np.asarray(c) for c in crops[:n_real])
-        return results
+            for i, c in zip(indices, crops[:n_real]):
+                results[i] = np.asarray(c)
+        return [results[i] for i in range(len(results))]
 
 
 __all__ = [
