@@ -40,17 +40,22 @@ V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
 
 # The north-star matrix (BASELINE.json names 256p/512p, both families).
 # 512p quadruples tokens/image; batch shrinks to keep activations in HBM.
+# 5B-f32x256 @256p (patch 32 -> 64 tokens/img) is the reference's fastest
+# published config (0.91 ms/img on A100 — docs/index.html:522-533); batch
+# rises to keep tokens-in-flight comparable.
 MATRIX = [
-    # (model, variant, res, tokens, grid, batch)  — headline config first
-    ("5B", "Td4-T/1x16x64", 256, 256, (16, 16), 64),
-    ("5B", "Td4-T/1x16x64", 512, 1024, (32, 32), 16),
-    ("350M", "Ld4-Ld24/1x16x64", 256, 256, (16, 16), 64),
-    ("350M", "Ld4-Ld24/1x16x64", 512, 1024, (32, 32), 16),
+    # (model, variant, res, tokens, grid, patch, batch) — headline first
+    ("5B", "Td4-T/1x16x64", 256, 256, (16, 16), 16, 64),
+    ("5B", "Td4-T/1x16x64", 512, 1024, (32, 32), 16, 16),
+    ("5B-f32x256", "Td4-T/1x32x256", 256, 64, (8, 8), 32, 256),
+    ("350M", "Ld4-Ld24/1x16x64", 256, 256, (16, 16), 16, 64),
+    ("350M", "Ld4-Ld24/1x16x64", 512, 1024, (32, 32), 16, 16),
 ]
 GATE_IMAGES = 8  # reconstructions compared per SSIM gate
 
 
-def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
+def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0,
+               patch: int = 16):
     rng = np.random.default_rng(seed)
     gr, gc = grid
     yy, xx = np.meshgrid(np.arange(gr), np.arange(gc), indexing="ij")
@@ -63,8 +68,8 @@ def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0):
         "patch_mask": jnp.ones((b, n), bool),
         "row_idx": jnp.asarray(tile(yy)),
         "col_idx": jnp.asarray(tile(xx)),
-        "orig_height": jnp.full((b,), gr * 16, jnp.int32),
-        "orig_width": jnp.full((b,), gc * 16, jnp.int32),
+        "orig_height": jnp.full((b,), gr * patch, jnp.int32),
+        "orig_width": jnp.full((b,), gc * patch, jnp.int32),
     }
 
 
@@ -143,12 +148,13 @@ def patches_to_images(patches: np.ndarray, grid, patch: int = 16) -> np.ndarray:
     return x.reshape(b, 3, gr * patch, gc * patch)
 
 
-def ssim_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid) -> float:
+def ssim_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid,
+              patch: int = 16) -> float:
     """Mean SSIM between bf16 and int8 reconstructions (host, CPU jax)."""
     from vitok_tpu.losses import ssim
 
-    ref = patches_to_images(ref_patches, grid)
-    qnt = patches_to_images(q_patches, grid)
+    ref = patches_to_images(ref_patches, grid, patch)
+    qnt = patches_to_images(q_patches, grid, patch)
     rng = float(ref.max() - ref.min()) or 1.0
     val = ssim(
         jnp.asarray(ref), jnp.asarray(qnt), data_range=rng, reduce=True
@@ -157,14 +163,15 @@ def ssim_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid) -> float:
 
 
 def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
-                 with_gate=True):
+                 with_gate=True, patch=16):
     """bf16 + int8 rows (and the int8-vs-bf16 SSIM gate) for one config."""
     from vitok_tpu.models import AEConfig, init_params
     from vitok_tpu.ops.quant import quantize_block_params_device
 
     cfg = AEConfig.from_variant(variant, attn_impl=attn_impl)
+    assert cfg.spatial_stride == patch, (variant, patch)
     fwd = _fwd_scalar(cfg)
-    data = make_batch(batch, tokens, grid, cfg.pixels_per_token)
+    data = make_batch(batch, tokens, grid, cfg.pixels_per_token, patch=patch)
 
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     n_params = count_params(params)
@@ -181,7 +188,19 @@ def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
     print(f"# {variant}@{res}p bf16 b={batch}: {bf_img_s:.1f} img/s "
           f"({bf_ms:.3f} ms/img)", file=sys.stderr)
 
-    recon_bf = gate_recon(fwd, params, data) if with_gate else None
+    if with_gate:
+        # Gate-sensitive weights: the reference LayerScale init (1e-4)
+        # attenuates the quantized blocks' output 1e4x, making an SSIM gate
+        # at init weights near-vacuous (rel diff 1.2e-6 vs ~1e-2 at
+        # gamma=O(1)). Swap gamma to U(0.5, 1.5) BEFORE the gate recons so
+        # the int8-vs-bf16 comparison runs at trained-checkpoint gamma
+        # scale. Timing is value-independent, so the rows are unaffected.
+        from vitok_tpu.ops.quant import gate_sensitive_params
+
+        params = gate_sensitive_params(params, seed=1)
+        recon_bf = gate_recon(fwd, params, data)
+    else:
+        recon_bf = None
 
     # int8 weights quantized FROM the same bf16 params (consumes them).
     params = quantize_block_params_device(params)
@@ -194,7 +213,9 @@ def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
     }
     if with_gate:
         recon_q = gate_recon(fwd, params, data)
-        row["ssim_vs_bf16"] = round(ssim_gate(recon_bf, recon_q, grid), 4)
+        row["ssim_vs_bf16"] = round(
+            ssim_gate(recon_bf, recon_q, grid, patch), 4
+        )
     rows.append(row)
     print(f"# {variant}@{res}p int8 b={batch}: {q_img_s:.1f} img/s "
           f"({q_ms:.3f} ms/img)"
@@ -216,7 +237,7 @@ def main():
                     help="headline row only")
     ap.add_argument("--no-gate", action="store_true",
                     help="skip the SSIM quality gates")
-    ap.add_argument("--budget-s", type=float, default=2100.0,
+    ap.add_argument("--budget-s", type=float, default=2700.0,
                     help="soft wall-clock budget; remaining matrix rows are "
                     "skipped once exceeded (headline always runs)")
     args = ap.parse_args()
@@ -267,7 +288,7 @@ def main():
         }
         print(json.dumps(result), flush=True)
 
-    for model, variant, res, tokens, grid, batch in MATRIX:
+    for model, variant, res, tokens, grid, patch, batch in MATRIX:
         if headline is not None and (
             args.no_matrix
             or time.perf_counter() - t_start > args.budget_s
@@ -276,7 +297,7 @@ def main():
             continue
         rows, n_params = bench_config(
             variant, res, tokens, grid, args.batch or batch,
-            iters=args.iters, with_gate=not args.no_gate,
+            iters=args.iters, with_gate=not args.no_gate, patch=patch,
         )
         for r in rows:
             r["model"] = model

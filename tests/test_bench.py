@@ -37,6 +37,35 @@ class TestBenchConfig:
         # reconstruct nearly identically on a tiny random model.
         assert rows[1]["ssim_vs_bf16"] > 0.95, rows[1]
 
+    def test_gate_sensitive_not_vacuous(self):
+        """The SSIM gate runs on gamma=O(1) weights: it must be < 1.0
+        (at the reference init 1e-4 it tautologically reads 1.0)."""
+        import bench
+
+        rows, _ = bench.bench_config(
+            TINY, 64, 16, (4, 4), batch=2, iters=1, with_gate=True
+        )
+        assert rows[1]["ssim_vs_bf16"] < 1.0, rows[1]
+
+    def test_f32_family_row(self):
+        """The patch-32 (f32) matrix row machinery: stride-32 batch + gate."""
+        import bench
+
+        rows, _ = bench.bench_config(
+            "w64_d2_h2-w64_d2_h2/1x32x16", 64, 16, (4, 4), batch=2, iters=1,
+            with_gate=True, patch=32,
+        )
+        assert [r["dtype"] for r in rows] == ["bf16", "int8"]
+        assert 0.95 < rows[1]["ssim_vs_bf16"] < 1.0, rows[1]
+
+    def test_patch_mismatch_rejected(self):
+        import bench, pytest
+
+        with pytest.raises(AssertionError):
+            bench.bench_config(
+                TINY, 64, 16, (4, 4), batch=2, iters=1, patch=32
+            )
+
     def test_gate_skippable(self):
         import bench
 

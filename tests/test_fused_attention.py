@@ -126,6 +126,54 @@ class TestFusedAttentionParity:
             atol=tol, rtol=tol,
         )
 
+    def test_packed_variance_bf16_default_dot_emulation(self):
+        """Emulate the TPU DEFAULT-precision hi/lo variance dots on CPU.
+
+        On TPU the two segment-matrix dots in ``_norm_rope_packed`` run as
+        single-pass bf16 MXU matmuls (DEFAULT precision); interpret-mode
+        CPU tests evaluate them at exact f32, so the truncation the hi/lo
+        split compensates for is otherwise never exercised. Here both dot
+        operands are explicitly cast to bf16 and the packed output must
+        still match the per-head oracle within bf16 tolerance.
+        """
+        d, heads, n = 64, 2, 64
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((n, heads * d)), jnp.bfloat16)
+        scale = jnp.asarray(
+            1.0 + 0.1 * rng.standard_normal(d), jnp.float32
+        )[None, :]
+        _, _, _, cos, sin = make_inputs(b=1, n=n, heads=heads, d=d)
+        cos_b = jnp.asarray(cos[0], x.dtype)   # [n, d//2]
+        sin_b = jnp.asarray(sin[0], x.dtype)
+        scale_w, cos_ext, sin_sgn, s_mat = fa._pack_constants(
+            d, scale, cos_b, sin_b, x.dtype
+        )
+
+        def bf16_default_dot(a, b):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        got = fa._norm_rope_packed(
+            x, scale_w, cos_ext, sin_sgn, s_mat, d, _var_dot=bf16_default_dot
+        )
+        # Per-head oracle at exact precision.
+        want = jnp.concatenate(
+            [
+                fa._norm_rope_half(
+                    x[:, h * d:(h + 1) * d], scale, cos_b, sin_b
+                )
+                for h in range(heads)
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
     def test_head_dim_64_and_128_shapes(self):
         # The model head dims (350M: 64, 5B: 128) at a reduced token count.
         for heads, d in [(2, 64), (2, 128)]:

@@ -155,13 +155,19 @@ class TestFullScaleParity:
         assert diff < 5e-4, f"sw patch diff {diff}"
 
     def test_int8_quant_full_350m(self, loaded):
-        """int8-quantized full-size model stays close to fp32 (SSIM gate)."""
+        """int8-quantized full-size model stays close to fp32 (SSIM gate).
+
+        Runs on gate-sensitive weights: LayerScale gamma is re-drawn at
+        O(1) (trained-checkpoint scale) because the reference init 1e-4
+        attenuates the quantized blocks 1e4x and makes the gate vacuous.
+        """
         model, cfg, params = loaded
         from vitok_tpu.models.ae import forward_apply
-        from vitok_tpu.ops.quant import quantize_block_params
+        from vitok_tpu.ops.quant import gate_sensitive_params, quantize_block_params
         from vitok_tpu.losses import ssim
         from vitok_tpu.train_lib import unpatchify_dense_static
 
+        params = gate_sensitive_params(params, seed=11)
         batch = make_batch(b=1, n=256, grid=(16, 16))
         base = forward_apply(params, batch, cfg, compute_dtype=jnp.float32)
         qparams = quantize_block_params(params)
@@ -172,6 +178,7 @@ class TestFullScaleParity:
         scale = float(jnp.abs(img_a).max()) or 1.0
         s = float(ssim(img_a / scale, img_b / scale))
         assert s > 0.99, f"int8 SSIM {s}"
+        assert s < 1.0 - 1e-9, "gate is vacuous: int8 output identical"
 
     def test_postprocess_roundtrip_through_load_path(self, loaded):
         """load → preprocess(image) → AE → postprocess returns orig size."""

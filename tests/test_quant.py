@@ -139,12 +139,38 @@ class TestFusedSiluQuant:
         assert q.shape == (1, 32, 512) and s.shape == (1, 32, 1)
 
 
-class TestQuantQuality:
-    def test_ssim_gate(self):
-        """Quantized reconstruction must stay within SSIM >= 0.99 of bf16."""
-        model = AE(
-            **decode_variant("w128_d2_h2-w128_d4_h2/1x16x16"), attn_impl="xla"
+def _gate_ssim(out_a, out_b):
+    """SSIM between two decode outputs on a dense 8x8 grid (common range)."""
+    from vitok_tpu.train_lib import unpatchify_dense_static
+
+    img_a = unpatchify_dense_static(dict(out_a), 8, 8, 16)
+    img_b = unpatchify_dense_static(dict(out_b), 8, 8, 16)
+    lo = float(jnp.minimum(img_a.min(), img_b.min()))
+    hi = float(jnp.maximum(img_a.max(), img_b.max()))
+    rng_ = max(hi - lo, 1e-6)
+    return float(
+        ssim(
+            img_a.astype(jnp.float32), img_b.astype(jnp.float32),
+            data_range=rng_,
         )
+    )
+
+
+class TestQuantQuality:
+    # Gate-sensitive config: the reference LayerScale init (1e-4) attenuates
+    # every quantized block 1e4x, so a gate at init weights is near-vacuous
+    # (VERDICT r3: rel diff 1.2e-6 at gamma=1e-4 vs ~1e-2 at gamma=1).
+    # All quality gates here run at gamma = O(1), the scale trained
+    # checkpoints actually reach.
+    GATE_VARIANT = dict(
+        decode_variant("w128_d2_h2-w128_d4_h2/1x16x16"), attn_impl="xla",
+        layer_scale_init=1.0,
+    )
+
+    def test_ssim_gate(self):
+        """Quantized reconstruction must stay within SSIM >= 0.99 of bf16,
+        measured on gate-sensitive (gamma=1) weights."""
+        model = AE(**self.GATE_VARIANT)
         batch = make_batch(b=2, n=64, grid=(8, 8), seed=3)
         full = model(batch)
 
@@ -152,22 +178,45 @@ class TestQuantQuality:
         quant = model(batch)
 
         assert not bool(jnp.isnan(quant["patches"]).any())
-        # Compare decoded patch tensors as images via SSIM proxy
-        from vitok_tpu.train_lib import unpatchify_dense_static
-
-        img_f = unpatchify_dense_static(dict(full), 8, 8, 16)
-        img_q = unpatchify_dense_static(dict(quant), 8, 8, 16)
-        # Normalize to a common range for the gate
-        lo = float(jnp.minimum(img_f.min(), img_q.min()))
-        hi = float(jnp.maximum(img_f.max(), img_q.max()))
-        rng_ = max(hi - lo, 1e-6)
-        s = float(
-            ssim(
-                img_f.astype(jnp.float32), img_q.astype(jnp.float32),
-                data_range=rng_,
-            )
-        )
+        s = _gate_ssim(full, quant)
         assert s >= 0.99, s
+        # Non-vacuity: at gamma=1 the int8 path must actually differ from
+        # the full path (at gamma=1e-4 this diff collapses to ~1e-6).
+        assert s < 1.0 - 1e-9, "gate is vacuous: int8 output identical"
+
+    def test_ssim_gate_negative_control(self):
+        """Red-team leg: 4-bit-level weight noise MUST trip the gate.
+
+        Proves the SSIM gate can fail — guards against the gate regressing
+        into a tautology (e.g. by comparing at attenuating LayerScale init).
+        """
+        from vitok_tpu.ops.quant import degrade_block_weights
+
+        model = AE(**self.GATE_VARIANT)
+        batch = make_batch(b=2, n=64, grid=(8, 8), seed=3)
+        full = model(batch)
+
+        bad = AE(params=degrade_block_weights(model.params, bits=4),
+                 **self.GATE_VARIANT)
+        out_bad = bad(batch)
+        s = _gate_ssim(full, out_bad)
+        assert s < 0.99, f"gate failed to trip on 4-bit weights: SSIM {s}"
+
+    def test_gate_sensitive_params_only_touches_gamma(self):
+        from vitok_tpu.ops.quant import gate_sensitive_params
+
+        cfg = AEConfig(**TINY)
+        p = init_params(cfg, jax.random.key(0))
+        g = gate_sensitive_params(p, seed=7)
+        gamma = np.asarray(g["decoder_blocks"]["layer_scale"]["gamma"])
+        assert (gamma >= 0.5).all() and (gamma <= 1.5).all()
+        # every non-gamma leaf identical (shared, not copied)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p),
+            jax.tree_util.tree_leaves_with_path(g),
+        ):
+            if "gamma" not in str(path):
+                assert a is b, path
 
     def test_quantize_api_parity(self):
         model = AE(**TINY)

@@ -136,16 +136,20 @@ def _pack_constants(d: int, scale, cos_b, sin_b, dtype):
     return scale_w, cos_ext.astype(dtype), sin_sgn.astype(dtype), s_mat
 
 
-def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int):
+def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int,
+                      _var_dot=None):
     """Full-width RMSNorm + rotate-half RoPE over a 128-lane head slab.
 
-    Numerically equivalent to ``_norm_rope_half`` per head (same op
-    order; the per-head sum(x^2) runs as a HIGHEST-precision f32 matmul
-    against the block-ones matrix, and the half-swap is an exact
-    permutation matmul). Exists because the per-head path costs either
-    half-idle VPU lanes (d=64 — measured ~48% of the 350M decoder loop,
-    BASELINE_NOTE.md round 3) or log-tree cross-lane reductions and
-    half-lane slice/concat shuffles (d=128).
+    Matches ``_norm_rope_half`` per head up to the variance reduction: the
+    per-head sum(x^2) runs as TWO DEFAULT-precision (single-pass bf16)
+    matmuls on an exact hi/lo split of x^2 against the block-ones segment
+    matrix, carrying ~2^-17 relative error on the variance — below the
+    bf16 grid of the kernel's output, so the rotated result agrees with
+    the per-head path within bf16 rounding (not bit-identical). The
+    half-swap IS an exact permutation matmul. Exists because the per-head
+    path costs either half-idle VPU lanes (d=64 — measured ~48% of the
+    350M decoder loop, BASELINE_NOTE.md round 3) or log-tree cross-lane
+    reductions and half-lane slice/concat shuffles (d=128).
     """
     x32 = x.astype(jnp.float32)
     # Per-head sum(x^2) as TWO default-precision (1-pass bf16) matmuls on an
@@ -158,13 +162,13 @@ def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int):
     x2 = x32 * x32
     x2_hi = x2.astype(jnp.bfloat16).astype(jnp.float32)
     dims = (((1,), (0,)), ((), ()))
-    seg = jax.lax.dot_general(
-        x2_hi, s_mat, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        x2 - x2_hi, s_mat, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    )  # [N, W]: each lane holds its head's sum(x^2)
+    if _var_dot is None:  # test hook: emulate the TPU bf16 DEFAULT dot on CPU
+        _var_dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+    # [N, W]: each lane holds its head's sum(x^2)
+    seg = _var_dot(x2_hi, s_mat) + _var_dot(x2 - x2_hi, s_mat)
     y = x32 * jax.lax.rsqrt(seg / d + _RMS_EPS) * scale_w
     yb = y.astype(x.dtype)
     d2 = d // 2

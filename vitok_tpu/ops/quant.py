@@ -377,6 +377,77 @@ def init_params_quantized(cfg, rng, scale_mag: float = 0.01) -> Params:
     return params
 
 
+def gate_sensitive_params(params: Params, seed: int = 0,
+                          lo: float = 0.5, hi: float = 1.5) -> Params:
+    """Replace LayerScale gamma leaves with O(1) random values.
+
+    The reference LayerScale init is 1e-4 (``vitok/models/ae.py:87``), which
+    attenuates every quantized block's contribution to the residual stream by
+    four orders of magnitude — an int8-vs-bf16 SSIM gate run at init weights
+    is therefore near-vacuous (measured: max relative output diff 1.2e-6 at
+    gamma=1e-4 vs ~1e-2 at gamma=1 on the same config). Quality gates must
+    run on gamma ~ O(1), the scale trained checkpoints actually reach. This
+    returns the same pytree with every ``layer_scale/gamma`` leaf replaced by
+    U(lo, hi) values (deterministic in ``seed``); all other leaves are shared,
+    not copied.
+    """
+    rng = jax.random.key(seed)
+
+    def visit(tree, rng):
+        out: Params = {}
+        for name, sub in tree.items():
+            if name == "layer_scale" and isinstance(sub, dict) and "gamma" in sub:
+                rng, sub_rng = jax.random.split(rng)
+                g = sub["gamma"]
+                out[name] = {
+                    "gamma": jax.random.uniform(
+                        sub_rng, g.shape, jnp.float32, lo, hi
+                    ).astype(g.dtype)
+                }
+            elif isinstance(sub, dict):
+                rng, sub_rng = jax.random.split(rng)
+                out[name] = visit(sub, sub_rng)
+            else:
+                out[name] = sub
+        return out
+
+    return visit(params, rng)
+
+
+def degrade_block_weights(params: Params, bits: int = 4) -> Params:
+    """Negative control for quality gates: re-round block kernels to ``bits``.
+
+    Simulates a low-bit quantizer by snapping every block linear kernel to a
+    symmetric ``bits``-bit per-channel grid (kept in the original dtype, so
+    the model still runs the full-precision path). At 4 bits the weight noise
+    is ~8x the int8 level — a non-vacuous SSIM gate MUST fail on it.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def snap(kernel: Array) -> Array:
+        k32 = kernel.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax / qmax, 1e-12)
+        return (jnp.round(k32 / scale) * scale).astype(kernel.dtype)
+
+    def visit(tree: Params) -> Params:
+        out: Params = {}
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                if name in _QUANT_KEYS and "kernel" in sub:
+                    out[name] = dict(sub, kernel=snap(sub["kernel"]))
+                else:
+                    out[name] = visit(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return {
+        k: visit(v) if k in ("encoder_blocks", "decoder_blocks") else v
+        for k, v in params.items()
+    }
+
+
 def is_quantized(params: Params) -> bool:
     return any(
         "kernel_int8" in str(p)

@@ -338,8 +338,18 @@ def make_train_step(
                     lambda x: x.astype(jnp.float32), g
                 )
 
-            m0, g0 = micro_grads(
-                jax.tree_util.tree_map(lambda x: x[0], micro), 0
+            # Seed the scan carry with eval_shape zeros so the heavy
+            # forward+backward graph is emitted ONCE (inside the scan body)
+            # instead of twice — computing microbatch 0 outside the scan
+            # doubled the jitted program's biggest subgraph, a real cost on
+            # a tunnel whose remote compile helper is fragile (CLAUDE.md).
+            m_shape, g_shape = jax.eval_shape(
+                micro_grads,
+                jax.tree_util.tree_map(lambda x: x[0], micro),
+                jnp.int32(0),
+            )
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
             )
 
             def body(carry, xs):
@@ -352,11 +362,8 @@ def make_train_step(
 
             (gacc, macc), _ = jax.lax.scan(
                 body,
-                (g0, m0),
-                (
-                    jax.tree_util.tree_map(lambda x: x[1:], micro),
-                    jnp.arange(1, grad_accum),
-                ),
+                (zeros(g_shape), zeros(m_shape)),
+                (micro, jnp.arange(grad_accum)),
             )
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gacc)
             metrics = jax.tree_util.tree_map(lambda m: m / grad_accum, macc)
