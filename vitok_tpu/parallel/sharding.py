@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -78,11 +80,34 @@ def ae_param_specs(mesh: Mesh) -> Any:
     return spec_for
 
 
+def _put_replicated_value(x, sharding: NamedSharding):
+    """Place a host value (identical on every process) onto a sharding.
+
+    Single-process this is a plain ``device_put``. Multi-process,
+    ``device_put`` of a host-local value to a global sharding is not
+    generally supported, so build the global array shard-by-shard from the
+    host copy — every process holds the same full value (same seed init /
+    same checkpoint), so slicing it locally is exact and transfer-free.
+    """
+    if jax.process_count() == 1 or getattr(x, "ndim", None) is None:
+        return jax.device_put(x, sharding)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a param pytree onto the mesh according to ``ae_param_specs``."""
+    """Place a param pytree onto the mesh according to ``ae_param_specs``.
+
+    Works under multi-process (``jax.distributed``) runs: params are
+    deterministic from the seed (or loaded from the same checkpoint) on
+    every process, so each process materialises only its addressable
+    shards of the global arrays.
+    """
     spec_fn = ae_param_specs(mesh)
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
+        lambda path, x: _put_replicated_value(
             x, NamedSharding(mesh, spec_fn(path, x))
         ),
         params,
@@ -104,9 +129,25 @@ def batch_specs(mesh: Mesh) -> P:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a NaFlex batch onto the mesh, batch-dim sharded."""
+    """Place a NaFlex batch onto the mesh, batch-dim sharded.
+
+    Multi-process (``jax.distributed``) semantics: the input is this
+    process's LOCAL rows (the data loaders are rank-strided, reference
+    ``vitok/utils.py:44-89`` analog), and the returned arrays are GLOBAL —
+    batch axis = local rows × process_count — assembled with
+    ``jax.make_array_from_process_local_data``. Single-process this is a
+    plain sharded ``device_put``.
+    """
     spec = batch_specs(mesh)
     sharding = NamedSharding(mesh, spec)
+
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            if hasattr(v, "ndim") and v.ndim >= 1
+            else v
+            for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, sharding) if hasattr(v, "ndim") and v.ndim >= 1 else v
         for k, v in batch.items()
@@ -130,7 +171,7 @@ def place_on_mesh(tree: Any, mesh: Mesh) -> Any:
         s = getattr(x, "sharding", None)
         if isinstance(s, NamedSharding) and s.mesh == mesh:
             return x
-        return jax.device_put(x, rep)
+        return _put_replicated_value(x, rep)
 
     return jax.tree_util.tree_map(place, tree)
 
