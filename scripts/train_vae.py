@@ -106,7 +106,12 @@ def main():
     ap.add_argument("--drop-path", type=float, default=0.0)
     # parallelism
     ap.add_argument("--mesh", default=None,
-                    help="e.g. 'data=4,fsdp=2' or 'data=2,fsdp=2,model=2'")
+                    help="e.g. 'data=4,fsdp=2', 'data=2,fsdp=2,model=2', or "
+                    "'pipe=4' (GPipe decoder pipeline + data-parallel "
+                    "encoder; Charbonnier loss only)")
+    ap.add_argument("--pipe-microbatches", type=int, default=None,
+                    help="GPipe microbatches for --mesh pipe=K (default K; "
+                    "more microbatches amortize the pipeline bubble)")
     # io / cadence
     ap.add_argument("--output-dir", default="./output")
     ap.add_argument("--resume", action="store_true")
@@ -149,6 +154,27 @@ def main():
     if is_main:
         print(f"mesh: {dict(mesh.shape)}, devices: {len(jax.devices())}")
 
+    pipe_stages = dict(mesh.shape).get("pipe", 1)
+    if pipe_stages > 1:
+        others = {k: v for k, v in mesh.shape.items() if k != "pipe" and v > 1}
+        if others:
+            raise SystemExit(
+                f"--mesh pipe=K must be a pipe-only mesh, got extra {others}"
+            )
+        if args.grad_accum > 1:
+            raise SystemExit("--grad-accum is not supported with pipe meshes")
+        if args.drop_path:
+            raise SystemExit(
+                "--drop-path requires per-(microbatch, layer) rng inside the "
+                "rotating GPipe schedule; pipeline training runs with 0 "
+                "(the reference's high-res finetune regime)"
+            )
+        if (args.ssim_weight or args.perceptual_weight) and is_main:
+            print(
+                "pipe mesh: training loss is masked Charbonnier only; "
+                "ignoring --ssim-weight/--perceptual-weight"
+            )
+
     # --- model + state ---------------------------------------------------
     cfg = AEConfig.from_variant(
         args.variant,
@@ -166,7 +192,12 @@ def main():
         params = jax.tree_util.tree_map(lambda x: jnp.asarray(x), raw)
     else:
         params = init_params(cfg, jax.random.key(args.seed))
-    params = shard_params(params, mesh)
+    if pipe_stages > 1:
+        from vitok_tpu.parallel import pipeline_param_specs
+
+        params = shard_params(params, mesh, spec_fn=pipeline_param_specs(mesh))
+    else:
+        params = shard_params(params, mesh)
     n_params = num_params(params)
 
     schedule = create_schedule(
@@ -237,10 +268,19 @@ def main():
             print(f"DINO perceptual: ViT-{args.dino_size} "
                   f"({'weights=' + src if src else 'RANDOM INIT'})")
 
-    train_step = make_train_step(
-        cfg, tx, loss_cfg, ema_decay=args.ema_decay, feature_fn=feature_fn,
-        grad_accum=args.grad_accum,
-    )
+    if pipe_stages > 1:
+        from vitok_tpu.parallel import make_pipeline_train_step
+
+        train_step = make_pipeline_train_step(
+            cfg, tx, mesh,
+            num_microbatches=args.pipe_microbatches,
+            ema_decay=args.ema_decay,
+        )
+    else:
+        train_step = make_train_step(
+            cfg, tx, loss_cfg, ema_decay=args.ema_decay,
+            feature_fn=feature_fn, grad_accum=args.grad_accum,
+        )
 
     wandb_run = None
     if args.wandb and is_main:

@@ -17,6 +17,24 @@ from vitok_tpu.parallel.sharding import (
     shard_params,
 )
 
+
+def __getattr__(name):
+    # Pipeline exports are lazy: pipeline.py pulls in model internals, which
+    # would make every `from vitok_tpu.parallel import create_mesh` pay the
+    # model-module import.
+    if name in (
+        "PIPE_AXIS",
+        "make_pipeline_train_step",
+        "pipeline_param_specs",
+        "pipeline_parallel_decode",
+        "pipeline_parallel_value_and_grad",
+    ):
+        from vitok_tpu.parallel import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "DATA_AXIS",
     "FSDP_AXIS",
@@ -30,4 +48,9 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "PIPE_AXIS",
+    "make_pipeline_train_step",
+    "pipeline_param_specs",
+    "pipeline_parallel_decode",
+    "pipeline_parallel_value_and_grad",
 ]

@@ -274,65 +274,33 @@ def pipeline_parallel_decode(
     return out
 
 
-def pipeline_parallel_value_and_grad(
-    params,
-    encode_dict: Dict[str, Array],
-    target_patches: Array,
-    cfg,
-    mesh: Mesh,
-    num_microbatches: Optional[int] = None,
-    compute_dtype=jnp.bfloat16,
-    charbonnier_eps: float = 1e-3,
-    remat: bool = True,
+@functools.lru_cache(maxsize=64)
+def _cached_vjg(
+    cfg, mesh, S, m, rounds, n_tok, width, ppt, dtype_name,
+    charbonnier_eps, remat, b, blocks_treedef, blocks_ndims,
+    embed_treedef, topix_treedef,
 ):
-    """Charbonnier reconstruction loss + grads through the pipelined decoder.
+    """Build (once per static configuration) the jitted per-shard GPipe VJP.
 
-    The training side of pipeline parallelism: reverse AD transposes the
-    GPipe schedule in place (cotangents ``ppermute`` back up the stage
-    line), so each chip computes and **keeps** the gradient of its own
-    ``depth/S`` block slice — decoder-block grads return sharded over
-    ``pipe`` exactly like the params, ready for a stage-local optimizer
-    step. ``decoder_embed`` / ``to_pixels`` grads are psum-replicated, and
-    the latent cotangent ``dz`` is returned so an encoder running outside
-    the pipeline (data/tensor-parallel) can chain its backward. The
-    reference has no pipeline training (SURVEY §2.9).
-
-    Runs deterministic (no drop-path): stochastic depth inside the rotating
-    schedule would need per-(microbatch, layer) rng plumbing; the reference
-    finetunes at high res with drop_path_rate=0, the one regime where a
-    pipelined decoder matters.
-
-    Returns:
-        ``(loss, grads, dz)`` — scalar loss; ``grads`` keyed
-        ``decoder_blocks`` (pipe-sharded), ``decoder_embed``, ``to_pixels``;
-        ``dz [B, N, zdim]``.
+    A bare caller of ``pipeline_parallel_value_and_grad`` previously paid a
+    full retrace of the schedule every step (a fresh ``jax.jit`` object per
+    call); caching the jitted function on the static layout makes repeated
+    calls — and the hoisted trainer — reuse one trace. Keys are hashable
+    stand-ins for the pytrees: treedefs + leaf ndims rebuild the
+    PartitionSpec trees exactly.
     """
-    n_stages = mesh.shape[PIPE_AXIS]
-    b = encode_dict["z"].shape[0]
-    m = num_microbatches or n_stages
-    S = n_stages
-    rounds, mb = _validate_layout(cfg, b, S, m)
+    compute_dtype = jnp.dtype(dtype_name).type
 
-    z_sh, cos_micro, sin_micro, mask_micro, split, _, _ = _microbatch_layouts(
-        encode_dict, cfg, m, S
+    block_specs = jax.tree_util.tree_unflatten(
+        blocks_treedef,
+        [P(*((PIPE_AXIS,) + (None,) * (nd - 1))) for nd in blocks_ndims],
     )
-    z = encode_dict["z"]
-    n_tok = z.shape[1]
-    width = cfg.decoder_width
-    ppt = params["to_pixels"]["kernel"].shape[-1]
-
-    # Targets and loss mask live in the same round-robin stage layout as z.
-    tgt_sh = split(target_patches).reshape(
-        (rounds, S, mb) + target_patches.shape[1:]
+    rep = jax.tree_util.tree_unflatten(
+        embed_treedef, [P()] * embed_treedef.num_leaves
     )
-    lmask_sh = mask_micro.reshape((rounds, S, mb, n_tok))
-
-    blocks = params["decoder_blocks"]
-    block_specs = jax.tree_util.tree_map(
-        lambda leaf: P(*((PIPE_AXIS,) + (None,) * (leaf.ndim - 1))), blocks
+    rep_tp = jax.tree_util.tree_unflatten(
+        topix_treedef, [P()] * topix_treedef.num_leaves
     )
-    rep = jax.tree_util.tree_map(lambda _: P(), params["decoder_embed"])
-    rep_tp = jax.tree_util.tree_map(lambda _: P(), params["to_pixels"])
 
     run = functools.partial(
         _pipeline_outputs,
@@ -394,8 +362,74 @@ def pipeline_parallel_value_and_grad(
 
     # jit is required (not just advisable): the remat closed_call cannot be
     # evaluated eagerly inside shard_map. Callers jitting the enclosing train
-    # step just reuse this trace.
-    loss, g_blocks, g_embed, g_topix, g_z = jax.jit(local_vjg)(
+    # step inline this trace.
+    return jax.jit(local_vjg)
+
+
+def pipeline_parallel_value_and_grad(
+    params,
+    encode_dict: Dict[str, Array],
+    target_patches: Array,
+    cfg,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
+    charbonnier_eps: float = 1e-3,
+    remat: bool = True,
+):
+    """Charbonnier reconstruction loss + grads through the pipelined decoder.
+
+    The training side of pipeline parallelism: reverse AD transposes the
+    GPipe schedule in place (cotangents ``ppermute`` back up the stage
+    line), so each chip computes and **keeps** the gradient of its own
+    ``depth/S`` block slice — decoder-block grads return sharded over
+    ``pipe`` exactly like the params, ready for a stage-local optimizer
+    step. ``decoder_embed`` / ``to_pixels`` grads are psum-replicated, and
+    the latent cotangent ``dz`` is returned so an encoder running outside
+    the pipeline (data/tensor-parallel) can chain its backward. The
+    reference has no pipeline training (SURVEY §2.9).
+
+    Runs deterministic (no drop-path): stochastic depth inside the rotating
+    schedule would need per-(microbatch, layer) rng plumbing; the reference
+    finetunes at high res with drop_path_rate=0, the one regime where a
+    pipelined decoder matters.
+
+    Returns:
+        ``(loss, grads, dz)`` — scalar loss; ``grads`` keyed
+        ``decoder_blocks`` (pipe-sharded), ``decoder_embed``, ``to_pixels``;
+        ``dz [B, N, zdim]``.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    b = encode_dict["z"].shape[0]
+    m = num_microbatches or n_stages
+    S = n_stages
+    rounds, mb = _validate_layout(cfg, b, S, m)
+
+    z_sh, cos_micro, sin_micro, mask_micro, split, _, _ = _microbatch_layouts(
+        encode_dict, cfg, m, S
+    )
+    z = encode_dict["z"]
+    n_tok = z.shape[1]
+    width = cfg.decoder_width
+    ppt = params["to_pixels"]["kernel"].shape[-1]
+
+    # Targets and loss mask live in the same round-robin stage layout as z.
+    tgt_sh = split(target_patches).reshape(
+        (rounds, S, mb) + target_patches.shape[1:]
+    )
+    lmask_sh = mask_micro.reshape((rounds, S, mb, n_tok))
+
+    blocks = params["decoder_blocks"]
+    vjg = _cached_vjg(
+        cfg, mesh, S, m, rounds, n_tok, width, ppt,
+        jnp.dtype(compute_dtype).name, float(charbonnier_eps), bool(remat),
+        int(b),
+        jax.tree_util.tree_structure(blocks),
+        tuple(l.ndim for l in jax.tree_util.tree_leaves(blocks)),
+        jax.tree_util.tree_structure(params["decoder_embed"]),
+        jax.tree_util.tree_structure(params["to_pixels"]),
+    )
+    loss, g_blocks, g_embed, g_topix, g_z = vjg(
         blocks, params["decoder_embed"], params["to_pixels"],
         z_sh, tgt_sh, lmask_sh, cos_micro, sin_micro, mask_micro,
     )
@@ -408,8 +442,122 @@ def pipeline_parallel_value_and_grad(
     return loss, grads, dz
 
 
+def pipeline_param_specs(mesh: Mesh):
+    """Param path -> PartitionSpec for pipeline training.
+
+    ``decoder_blocks`` shard their stacked depth axis over ``pipe`` (each
+    stage holds its ``depth/S`` slice — params, grads, and optimizer moments
+    all stay stage-local); everything else (encoder, embeds, heads) is
+    replicated. Signature matches ``ae_param_specs``'s callable so it drops
+    into ``shard_params(..., spec_fn=...)``.
+    """
+    del mesh
+
+    def spec_for(path, leaf=None) -> P:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        # P(PIPE_AXIS) with no trailing Nones: trailing dims are replicated
+        # either way, but the normalized spelling matches what jit's
+        # propagation emits on the step's outputs — so input and output
+        # state shardings hash identically and the step never retraces.
+        if "decoder_blocks" in keys:
+            return P(PIPE_AXIS)
+        return P()
+
+    return spec_for
+
+
+def make_pipeline_train_step(
+    cfg,
+    tx,
+    mesh: Mesh,
+    *,
+    num_microbatches: Optional[int] = None,
+    ema_decay: float = 0.999,
+    compute_dtype=jnp.bfloat16,
+    charbonnier_eps: float = 1e-3,
+    remat: bool = True,
+    donate: bool = True,
+):
+    """Full pipelined train step: DP encoder -> GPipe decoder -> optimizer.
+
+    The decoder block stack runs pipelined over the ``pipe`` mesh axis
+    (stage-local params, grads, and optimizer state); the encoder runs
+    data-parallel over the same devices (batch rows sharded over ``pipe``),
+    and its backward chains through the latent cotangent ``dz`` returned by
+    the GPipe schedule. One hoisted ``jax.jit`` wraps the whole step — the
+    cached inner schedule trace is inlined, so steps after the first pay no
+    retrace.
+
+    Loss is masked Charbonnier only (the pipelined regime is high-res
+    finetuning, where the reference also trains with drop_path_rate=0;
+    SSIM tile losses need dense unpatchified images, which would defeat the
+    stage-sharded output layout). Returns ``(state, batch, rng) ->
+    (state, metrics)`` like ``make_train_step``.
+    """
+    import optax
+
+    from vitok_tpu.models.ae import _meta, encode_apply
+    from vitok_tpu.train_lib import update_ema
+
+    enc_keys = ("patch_embed", "encoder_blocks", "to_code")
+
+    def step(state, batch, rng):
+        params = state.params
+
+        def enc_z(ep):
+            out = encode_apply(
+                {**params, **ep}, batch, cfg,
+                deterministic=False, compute_dtype=compute_dtype,
+            )
+            return out["z"]
+
+        enc_params = {k: params[k] for k in enc_keys}
+        z, enc_vjp = jax.vjp(enc_z, enc_params)
+
+        enc_out = _meta(batch)
+        enc_out["z"] = z
+        loss, dec_grads, dz = pipeline_parallel_value_and_grad(
+            params, enc_out, batch["patches"], cfg, mesh,
+            num_microbatches=num_microbatches,
+            compute_dtype=compute_dtype,
+            charbonnier_eps=charbonnier_eps,
+            remat=remat,
+        )
+        (enc_grads,) = enc_vjp(dz.astype(z.dtype))
+        grads = {**enc_grads, **dec_grads}
+
+        updates, new_opt = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_ema = (
+            update_ema(state.ema_params, new_params, ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        metrics = {
+            "loss/total": loss,
+            "loss/charbonnier": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        import dataclasses
+
+        return (
+            dataclasses.replace(
+                state,
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                ema_params=new_ema,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 __all__ = [
     "pipeline_parallel_decode",
     "pipeline_parallel_value_and_grad",
+    "make_pipeline_train_step",
+    "pipeline_param_specs",
     "PIPE_AXIS",
 ]

@@ -97,15 +97,18 @@ def _put_replicated_value(x, sharding: NamedSharding):
     )
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a param pytree onto the mesh according to ``ae_param_specs``.
+def shard_params(params: Params, mesh: Mesh, spec_fn=None) -> Params:
+    """Place a param pytree onto the mesh according to ``ae_param_specs``
+    (or a caller-supplied ``spec_fn(path, leaf) -> PartitionSpec``, e.g.
+    ``pipeline_param_specs`` for pipe-staged decoder blocks).
 
     Works under multi-process (``jax.distributed``) runs: params are
     deterministic from the seed (or loaded from the same checkpoint) on
     every process, so each process materialises only its addressable
     shards of the global arrays.
     """
-    spec_fn = ae_param_specs(mesh)
+    if spec_fn is None:
+        spec_fn = ae_param_specs(mesh)
     return jax.tree_util.tree_map_with_path(
         lambda path, x: _put_replicated_value(
             x, NamedSharding(mesh, spec_fn(path, x))
@@ -123,8 +126,15 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
 
 
 def batch_specs(mesh: Mesh) -> P:
-    """Batch axis sharded over data×fsdp (both are 'data parallel' for inputs)."""
+    """Batch axis sharded over data×fsdp (both are 'data parallel' for inputs).
+
+    On a pipe-only mesh (pipeline training), batch rows shard over ``pipe``
+    instead: the encoder runs data-parallel across the same devices that
+    stage the decoder.
+    """
     axes = [a for a in (DATA_AXIS, FSDP_AXIS) if _axis(mesh, a)]
+    if not axes and _axis(mesh, "pipe"):
+        axes = ["pipe"]
     return P(tuple(axes) if axes else None)
 
 
