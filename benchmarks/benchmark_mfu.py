@@ -30,15 +30,24 @@ VARIANT_ALIASES = {
 }
 
 
-def run_one(variant: str, n_tokens: int, batch: int, iters: int):
+def run_one(variant: str, n_tokens: int, batch: int, iters: int,
+            sw: int = 0, dtype: str = "bf16"):
+    import dataclasses
+
     from bench import make_batch
     from vitok_tpu.models import AEConfig, init_params
     from vitok_tpu.models.ae import forward_apply
     from vitok_tpu.utils.profiling import PEAK_FLOPS
 
     cfg = AEConfig.from_variant(VARIANT_ALIASES.get(variant, variant))
+    if sw:
+        cfg = dataclasses.replace(cfg, sw=sw)
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if dtype == "int8":
+        from vitok_tpu.ops.quant import quantize_block_params
+
+        params = quantize_block_params(params)
     side = int(np.sqrt(n_tokens))
     data = make_batch(batch, n_tokens, (side, side), cfg.pixels_per_token)
 
@@ -66,6 +75,8 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int):
         "variant": variant,
         "tokens": n_tokens,
         "batch": batch,
+        "sw": sw or None,
+        "dtype": dtype,
         "ms_per_img": dt / batch * 1e3,
         "img_per_s": batch / dt,
         "model_flops_per_call": model_flops,
@@ -168,6 +179,10 @@ def main():
                     "--train --checkpoint 1 (qkv_out,ffn_hid,attn_out)")
     ap.add_argument("--attn-impl", default="auto",
                     help="attention impl for --train (auto/xla/fused)")
+    ap.add_argument("--sw", type=int, default=0,
+                    help="sliding attention window (forward mode only)")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
+                    help="block weight dtype (forward mode only)")
     args = ap.parse_args()
     remat_save = tuple(
         s.strip() for s in args.remat_save.split(",") if s.strip()
@@ -184,7 +199,8 @@ def main():
                     args.attn_impl,
                 )
             else:
-                r = run_one(v.strip(), int(t), args.batch, args.iters)
+                r = run_one(v.strip(), int(t), args.batch, args.iters,
+                            sw=args.sw, dtype=args.dtype)
             print(json.dumps({k: (round(x, 4) if isinstance(x, float) else x)
                               for k, x in r.items()}), flush=True)
 

@@ -139,6 +139,116 @@ class TestFusedSiluQuant:
         assert q.shape == (1, 32, 512) and s.shape == (1, 32, 1)
 
 
+class TestFusedFFN:
+    """The fused fc1-GEMM + SwiGLU + requantize kernel and its padded
+    weight layout."""
+
+    def _inputs(self, m=32, c=256, f=136, seed=0):
+        from vitok_tpu.ops.quant import (
+            pad_fc1_kernel,
+            quantize_activation,
+            quantize_weight,
+        )
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((m, c)), jnp.bfloat16)
+        hq, hs = quantize_activation(x)
+        w = jnp.asarray(
+            0.05 * rng.standard_normal((c, 2 * f)), jnp.bfloat16
+        )
+        fc1 = quantize_weight(pad_fc1_kernel(w))
+        return hq, hs, fc1
+
+    def test_matches_unfused_chain(self):
+        """Interpret-mode kernel vs int8-GEMM -> f32 silu -> quantize.
+
+        The kernel stages silu(g)*v in bf16 VMEM scratch before the exact
+        per-token quantize, so int8 values may differ from the f32-staged
+        oracle by one step and scales by ~2^-8 relative.
+        """
+        from vitok_tpu.ops.quant import fused_ffn_int8, quantize_activation
+
+        hq, hs, fc1 = self._inputs()
+        q, s = fused_ffn_int8(hq, hs, fc1, interpret=True)
+        fp = fc1["kernel_int8"].shape[-1] // 2
+        assert q.shape == (hq.shape[0], fp) and s.shape == (hq.shape[0], 1)
+
+        acc = hq.astype(jnp.float32) @ fc1["kernel_int8"].astype(jnp.float32)
+        hid = acc * hs * fc1["scale"][None]
+        v, g = hid[:, :fp], hid[:, fp:]
+        want_q, want_s = quantize_activation(jax.nn.silu(g) * v)
+        diff = np.abs(np.asarray(q, np.int32) - np.asarray(want_q, np.int32))
+        assert diff.max() <= 1, diff.max()
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(want_s), rtol=1e-2
+        )
+        # Pad columns must quantize to exactly zero.
+        assert not np.asarray(q)[:, 136:].any()
+
+    def test_row_tiling(self):
+        """Multiple row tiles (grid dim 0 > 1) agree with one-shot rows."""
+        from vitok_tpu.ops.quant import fused_ffn_int8
+
+        hq, hs, fc1 = self._inputs(m=24, c=128, f=128, seed=3)
+        q, s = fused_ffn_int8(hq, hs, fc1, interpret=True)  # mt=8, 3 tiles
+        q1, s1 = fused_ffn_int8(hq[:8], hs[:8], fc1, interpret=True)
+        np.testing.assert_array_equal(np.asarray(q[:8]), np.asarray(q1))
+        np.testing.assert_allclose(np.asarray(s[:8]), np.asarray(s1))
+
+    def test_padded_layout_is_transparent_to_unfused_path(self):
+        """Padded fc1/fc2 int8 weights give bit-identical forward outputs
+        through the generic (non-Pallas) int8 path."""
+        from vitok_tpu.ops.quant import quantize_weight
+
+        cfg = AEConfig(**TINY)
+        params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        padded = quantize_block_params(params)  # pads fc1/fc2
+        # Reference: quantize WITHOUT padding (the old layout).
+        import copy
+
+        unpadded = copy.deepcopy(params)
+        for grp in ("encoder_blocks", "decoder_blocks"):
+            for name in ("qkv", "out"):
+                unpadded[grp]["attn"][name] = quantize_weight(
+                    unpadded[grp]["attn"][name]["kernel"]
+                )
+            for name in ("fc1", "fc2"):
+                unpadded[grp]["ffn"][name] = quantize_weight(
+                    unpadded[grp]["ffn"][name]["kernel"]
+                )
+        f = params["encoder_blocks"]["ffn"]["fc1"]["kernel"].shape[-1] // 2
+        fp = padded["encoder_blocks"]["ffn"]["fc1"]["kernel_int8"].shape[-1] // 2
+        assert fp == ((f + 127) // 128) * 128 and fp != f  # pad exercised
+
+        batch = make_batch(2, 16)
+        out_pad = forward_apply(padded, batch, cfg)
+        out_ref = forward_apply(unpadded, batch, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out_pad["patches"], np.float32),
+            np.asarray(out_ref["patches"], np.float32),
+        )
+
+    def test_fc2_pad_rows_are_zero(self):
+        from vitok_tpu.ops.quant import pad_fc2_kernel
+
+        k = jnp.ones((2, 136, 64), jnp.float32)
+        kp = pad_fc2_kernel(k)
+        assert kp.shape == (2, 256, 64)
+        assert not np.asarray(kp)[:, 136:].any()
+
+    def test_can_fuse_ffn_shape_gate(self):
+        from vitok_tpu.ops.quant import can_fuse_ffn
+
+        import unittest.mock as mock
+
+        with mock.patch("jax.default_backend", return_value="tpu"):
+            assert can_fuse_ffn(4096, 3072, 2 * 8320)
+            assert not can_fuse_ffn(4095, 3072, 2 * 8320)  # rows not 8-mult
+            assert not can_fuse_ffn(4096, 3072, 2 * 8208)  # unpadded ffn
+            assert not can_fuse_ffn(4096, 3000, 2 * 8320)  # width not lane-aligned
+        assert not can_fuse_ffn(4096, 3072, 2 * 8320)  # CPU backend
+
+
 def _gate_ssim(out_a, out_b):
     """SSIM between two decode outputs on a dense 8x8 grid (common range)."""
     from vitok_tpu.train_lib import unpatchify_dense_static

@@ -356,7 +356,9 @@ def _block_body(
     shared_int8 = "kernel_int8" in qkv_p and "kernel_int8" in fc1_p
     if shared_int8:
         from vitok_tpu.ops.quant import (
+            can_fuse_ffn,
             can_fuse_silu_quant,
+            fused_ffn_int8,
             fused_rmsnorm_quant,
             int8_matmul_prequant,
             quantize_activation,
@@ -370,14 +372,26 @@ def _block_body(
         else:
             hq, h_scale = quantize_activation(h)
         qkv_out = int8_matmul_prequant(hq, h_scale, qkv_p, h.dtype)
-        hid = int8_matmul_prequant(hq, h_scale, fc1_p, h.dtype)
+        f2 = fc1_p["kernel_int8"].shape[-1]
+        if can_fuse_ffn(b * n, c, f2):
+            # Fused fc1-GEMM + SwiGLU + requantize: the [M, 2F] bf16 hidden
+            # never reaches HBM (it round-trips ~1.1 GB per 5B decoder
+            # block through the unfused chain). ``hid`` carries the
+            # pre-gated (int8, scale) pair for the fc2 matmul below.
+            hid = fused_ffn_int8(
+                hq.reshape(b * n, c), h_scale.reshape(b * n, 1), fc1_p
+            )
+        else:
+            hid = int8_matmul_prequant(hq, h_scale, fc1_p, h.dtype)
     else:
         qkv_out = _linear(h, qkv_p)
         hid = _linear(h, fc1_p)
     # Remat tags: AEConfig.remat_save selects which of these the backward
     # keeps instead of recomputing (jax.checkpoint save_only_these_names).
+    # The fused-FFN (int8, scale) pair is inference-only — never under remat.
     qkv_out = checkpoint_name(qkv_out, "qkv_out")
-    hid = checkpoint_name(hid, "ffn_hid")
+    if not isinstance(hid, tuple):
+        hid = checkpoint_name(hid, "ffn_hid")
 
     # --- attention branch ---
     from vitok_tpu.ops.fused_attention import can_fuse, fused_qkv_attention
@@ -443,7 +457,14 @@ def _block_body(
             int8_matmul_prequant,
         )
 
-        if can_fuse_silu_quant(n):
+        if isinstance(hid, tuple):
+            # Fused-FFN path: hid is the already-gated, already-quantized
+            # (int8 [M, F'], scale [M, 1]) SwiGLU output.
+            tq, t_scale = hid
+            mlp = int8_matmul_prequant(
+                tq, t_scale, fc2_p, h.dtype
+            ).reshape(b, n, c)
+        elif can_fuse_silu_quant(n):
             # One-pass silu(g)*v + per-token int8 quantize (Pallas): the
             # unfused chain costs two full XLA passes over the fc1 output.
             tq, t_scale = fused_silu_quant(hid)

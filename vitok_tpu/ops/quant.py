@@ -20,6 +20,8 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -86,6 +88,230 @@ def int8_linear(x: Array, qp: Dict[str, Array]) -> Array:
     """
     xq, a_scale = quantize_activation(x)
     return int8_matmul_prequant(xq, a_scale, qp, x.dtype)
+
+
+def pad_ffn_dim(f: int) -> int:
+    """Next 128-lane-aligned hidden dim (``8208 -> 8320``)."""
+    return ((f + 127) // 128) * 128
+
+
+def pad_fc1_kernel(kernel: Array) -> Array:
+    """Pad BOTH SwiGLU halves of an fc1 kernel to 128-aligned columns.
+
+    ``[..., C, 2F] -> [..., C, 2F']`` with ``F' = pad_ffn_dim(F)``; layout
+    stays ``[v(0..F'-1) | g(F'..2F'-1)]`` with zero columns appended to each
+    half. Exactness: the pad columns produce ``silu(0) * 0 = 0`` activations,
+    and the generic SwiGLU consumer (``jnp.split(hid, 2)``) splits at the
+    padded midpoint so v/g stay correctly paired. Enables the fused FFN
+    kernel's 128-lane column tiling (the reference hidden dims — e.g. 8208
+    for T-width — are 16-aligned only).
+    """
+    f = kernel.shape[-1] // 2
+    fp = pad_ffn_dim(f)
+    if fp == f:
+        return kernel
+    v, g = kernel[..., :f], kernel[..., f:]
+    pad = [(0, 0)] * (kernel.ndim - 1) + [(0, fp - f)]
+    return jnp.concatenate([jnp.pad(v, pad), jnp.pad(g, pad)], axis=-1)
+
+
+def pad_fc2_kernel(kernel: Array) -> Array:
+    """Zero-pad fc2 input rows ``[..., F, out] -> [..., F', out]`` to match
+    ``pad_fc1_kernel``'s activation width (zero rows contribute nothing)."""
+    f = kernel.shape[-2]
+    fp = pad_ffn_dim(f)
+    if fp == f:
+        return kernel
+    pad = [(0, 0)] * kernel.ndim
+    pad[-2] = (0, fp - f)
+    return jnp.pad(kernel, pad)
+
+
+def _ffn_int8_kernel(
+    hq_ref,    # [MT, C] int8 — quantized block input (token rows)
+    hs_ref,    # [MT, 1] f32 — per-token activation scales
+    wv_ref,    # [C, BW] int8 — fc1 value-half column block p
+    wg_ref,    # [C, BW] int8 — fc1 gate-half column block p
+    sv_ref,    # [1, BW] f32 — per-channel weight scales (value cols)
+    sg_ref,    # [1, BW] f32 — (gate cols)
+    q_ref,     # [MT, BW] int8 out — quantized silu(g)*v block p
+    ts_ref,    # [MT, 1] f32 out — per-token output scales
+    t_scr,     # VMEM [MT, F'] bf16 — full-row silu(g)*v staging
+    amax_scr,  # VMEM [MT, 128] f32 — running per-token absmax (lane-bcast)
+    *,
+    bw: int,
+):
+    """Two-phase fused fc1-GEMM + SwiGLU + dynamic per-token int8 requant.
+
+    Grid ``(M/MT, 2, F'/BW)``: phase ``j=0`` runs the int8 GEMM for one
+    BW-column block of each SwiGLU half on the MXU, dequantizes, applies
+    silu(g)*v in f32, stages the bf16 result in VMEM scratch and folds the
+    block absmax into a running per-token max. Phase ``j=1`` re-reads the
+    staged rows with the now-complete per-token scale and writes int8 —
+    EXACT per-token dynamic quantization without the [M, 2F] bf16 HBM
+    round-trip of the unfused fc1-GEMM -> fused_silu_quant chain. BW is
+    the widest 128-multiple block that divides F' (fewer, larger grid
+    steps keep the MXU fed — 128-wide blocks measured +0.9 ms at the 5B
+    shape from per-step overhead alone).
+    """
+    p = pl.program_id(2)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _compute():
+        x = hq_ref[:, :]
+        dims = (((1,), (0,)), ((), ()))
+        accv = jax.lax.dot_general(
+            x, wv_ref[:, :], dims, preferred_element_type=jnp.int32
+        )
+        accg = jax.lax.dot_general(
+            x, wg_ref[:, :], dims, preferred_element_type=jnp.int32
+        )
+        xs = hs_ref[:, :]  # [MT, 1] f32
+        v = accv.astype(jnp.float32) * xs * sv_ref[:, :]
+        g = accg.astype(jnp.float32) * xs * sg_ref[:, :]
+        t = jax.nn.silu(g) * v  # f32 gate math (see _silu_quant_kernel)
+        t_scr[:, pl.ds(p * bw, bw)] = t.astype(t_scr.dtype)
+        bm = jnp.broadcast_to(
+            jnp.max(jnp.abs(t), axis=-1, keepdims=True), amax_scr.shape
+        )
+        amax_scr[:, :] = jnp.where(
+            p == 0, bm, jnp.maximum(amax_scr[:, :], bm)
+        )
+
+    @pl.when(pl.program_id(1) == 1)
+    def _quantize():
+        scale = jnp.maximum(amax_scr[:, :1] / 127.0, 1e-12)  # [MT, 1]
+        rcp = 1.0 / scale  # one divide per row, multiplies per element
+        t = t_scr[:, pl.ds(p * bw, bw)].astype(jnp.float32)
+        q_ref[:, :] = jnp.clip(
+            jnp.round(t * rcp), -127, 127
+        ).astype(jnp.int8)
+
+        @pl.when(p == 0)
+        def _():
+            ts_ref[:, :] = scale
+
+
+def _ffn_shapes_fusable(m: int, c: int, f2: int) -> bool:
+    fp = f2 // 2
+    return (
+        f2 % 256 == 0
+        and fp % 128 == 0
+        and c % 128 == 0
+        and m % 8 == 0
+    )
+
+
+def can_fuse_ffn(m: int, c: int, f2: int) -> bool:
+    """Gate for ``fused_ffn_int8``: TPU backend, 128-aligned shapes, and a
+    token count that tiles into >= 8-row programs.
+
+    ``VITOK_DISABLE_FUSED_FFN=1`` forces the unfused chain (A/B harness).
+    """
+    import os
+
+    if os.environ.get("VITOK_DISABLE_FUSED_FFN"):
+        return False
+    if not can_fuse_silu_quant(8):  # backend check only (8 % 8 == 0)
+        return False
+    return _ffn_shapes_fusable(m, c, f2)
+
+
+def fused_ffn_int8(hq: Array, h_scale: Array, fc1: Dict[str, Array],
+                   interpret: bool = False):
+    """Fused int8 fc1 GEMM + SwiGLU + per-token int8 requantization (Pallas).
+
+    Replaces ``int8_matmul_prequant(hq, h_scale, fc1) -> fused_silu_quant``:
+    the unfused chain writes the ``[M, 2F]`` bf16 hidden to HBM and reads it
+    straight back (~1.1 GB per 5B decoder block at batch 64 / 256 tokens —
+    measured ~1.8 ms of the 5.45 ms fc1+silu path in the round-4 xplane
+    trace). This kernel keeps each token row's SwiGLU output resident in a
+    VMEM scratch between the GEMM phase and the quantize phase, so the
+    hidden activation never touches HBM. Weights must be padded to
+    128-aligned halves first (``pad_fc1_kernel`` — done by
+    ``quantize_block_params*``).
+
+    Args:
+        hq: ``[M, C]`` int8 pre-quantized activations (flatten [B, N, C]).
+        h_scale: ``[M, 1]`` f32 per-token activation scales.
+        fc1: ``{"kernel_int8": [C, 2F'], "scale": [2F']}`` padded layout.
+
+    Returns:
+        ``(tq [M, F'] int8, t_scale [M, 1] f32)`` — drop-in inputs for the
+        fc2 ``int8_matmul_prequant``.
+    """
+    w = fc1["kernel_int8"]
+    ws = fc1["scale"]
+    m, c = hq.shape
+    f2 = w.shape[-1]
+    fp = f2 // 2
+    assert _ffn_shapes_fusable(m, c, f2), (m, c, f2)
+
+    # Column block width: the widest 128-multiple divisor of F' whose
+    # double-buffered weight blocks stay under ~12 MB. Wide blocks keep
+    # the MXU fed (128-wide measured +0.9 ms at the 5B shape).
+    bw = max(
+        b for b in range(128, fp + 1, 128)
+        if fp % b == 0 and 4 * c * b <= 12 * 1024 * 1024
+    )
+    nb = fp // bw
+
+    # Largest row tile that divides M with the full-row bf16 scratch plus
+    # buffered blocks under the raised Mosaic VMEM budget (v5e: 128 MB
+    # physical; default scoped limit is 16 MB — overridden below).
+    def _vmem(mt):
+        return (
+            2 * mt * fp            # bf16 scratch
+            + 2 * mt * c           # int8 input (double-buffered)
+            + 2 * 2 * c * bw       # two int8 weight halves, double-buffered
+            + 2 * mt * bw          # int8 out block, double-buffered
+            + mt * (128 + 2) * 4   # amax scratch + token scales
+        )
+
+    mt = next(
+        t for t in (1024, 512, 256, 128, 64, 32, 16, 8)
+        if m % t == 0 and _vmem(t) <= 48 * 1024 * 1024
+    )
+
+    grid = (m // mt, 2, nb)
+    # Weight/scale column blocks freeze at block 0 during the quantize
+    # phase (j=1) so no fresh DMAs are issued while scratch drains.
+    vcol = lambda i, j, p: (0, p * (1 - j))
+    gcol = lambda i, j, p, _nb=nb: (0, _nb + p * (1 - j))
+
+    q, ts = pl.pallas_call(
+        functools.partial(_ffn_int8_kernel, bw=bw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mt, c), lambda i, j, p: (i, 0)),
+            pl.BlockSpec((mt, 1), lambda i, j, p: (i, 0)),
+            pl.BlockSpec((c, bw), vcol),
+            pl.BlockSpec((c, bw), gcol),
+            pl.BlockSpec((1, bw), vcol),
+            pl.BlockSpec((1, bw), gcol),
+        ],
+        out_specs=(
+            # Constant block (i, 0) through the GEMM phase, then walks the
+            # column blocks during j=1 — every flush happens after its
+            # block was written (no garbage writes).
+            pl.BlockSpec((mt, bw), lambda i, j, p: (i, p * j)),
+            pl.BlockSpec((mt, 1), lambda i, j, p: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, fp), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mt, fp), jnp.bfloat16),
+            pltpu.VMEM((mt, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(hq, h_scale, w, w, ws.reshape(1, f2), ws.reshape(1, f2))
+    return q, ts
 
 
 def _silu_quant_kernel(hid_ref, q_ref, s_ref, *, ffn: int):
@@ -241,7 +467,15 @@ def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Par
         for name, sub in stack.items():
             if isinstance(sub, dict):
                 if name in _QUANT_KEYS and "kernel" in sub:
-                    out[name] = quantize_weight(sub["kernel"], offload=offload)
+                    # FFN kernels are zero-padded to 128-aligned SwiGLU
+                    # halves so the fused FFN kernel can column-tile them;
+                    # exact for every consumer (see pad_fc1_kernel).
+                    k = sub["kernel"]
+                    if name == "fc1":
+                        k = pad_fc1_kernel(k)
+                    elif name == "fc2":
+                        k = pad_fc2_kernel(k)
+                    out[name] = quantize_weight(k, offload=offload)
                 elif "kernel_int8" in sub:
                     out[name] = sub  # already quantized
                 else:
@@ -271,8 +505,14 @@ def quantize_block_params_device(params: Params) -> Params:
     """
 
     @functools.lru_cache(maxsize=16)
-    def _jq(shape, dtype_name):
+    def _jq(shape, dtype_name, kind):
         def one(k):
+            # Pad per depth slice (inside the map) so the bf16 transient is
+            # one layer, not the whole 4GB+ stacked leaf.
+            if kind == "fc1":
+                k = pad_fc1_kernel(k)
+            elif kind == "fc2":
+                k = pad_fc2_kernel(k)
             k32 = k.astype(jnp.float32)
             absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
             scale = jnp.maximum(absmax / 127.0, 1e-12)
@@ -281,8 +521,8 @@ def quantize_block_params_device(params: Params) -> Params:
 
         return jax.jit(lambda k: jax.lax.map(one, k))
 
-    def q_leaf(kernel: Array) -> Dict[str, Array]:
-        q, scale = _jq(kernel.shape, kernel.dtype.name)(kernel)
+    def q_leaf(kernel: Array, kind: str) -> Dict[str, Array]:
+        q, scale = _jq(kernel.shape, kernel.dtype.name, kind)(kernel)
         q.block_until_ready()
         if hasattr(kernel, "delete"):
             kernel.delete()
@@ -293,7 +533,7 @@ def quantize_block_params_device(params: Params) -> Params:
         for name, sub in stack.items():
             if isinstance(sub, dict):
                 if name in _QUANT_KEYS and "kernel" in sub:
-                    out[name] = q_leaf(sub["kernel"])
+                    out[name] = q_leaf(sub["kernel"], name)
                 elif "kernel_int8" in sub:
                     out[name] = sub
                 else:
@@ -320,16 +560,22 @@ def init_params_quantized(cfg, rng, scale_mag: float = 0.01) -> Params:
     """
     from vitok_tpu.models.ae import _linear_init
 
-    def q_linear(key, fan_in, fan_out, depth=None):
+    def q_linear(key, fan_in, fan_out, depth=None, kind=None):
         k1, k2 = jax.random.split(key)
         shape = (fan_in, fan_out) if depth is None else (depth, fan_in, fan_out)
         sshape = (fan_out,) if depth is None else (depth, fan_out)
-        return {
-            "kernel_int8": jax.random.randint(k1, shape, -127, 128, jnp.int8),
-            "scale": jnp.abs(jax.random.normal(k2, sshape, jnp.float32))
-            * scale_mag
-            + 1e-6,
-        }
+        q = jax.random.randint(k1, shape, -127, 128, jnp.int8)
+        s = (
+            jnp.abs(jax.random.normal(k2, sshape, jnp.float32)) * scale_mag
+            + 1e-6
+        )
+        # Match the padded FFN layout quantize_block_params* emits (zero pad
+        # columns/rows so the fused and unfused paths agree).
+        if kind == "fc1":
+            q, s = pad_fc1_kernel(q), pad_fc1_kernel(s)
+        elif kind == "fc2":
+            q = pad_fc2_kernel(q)
+        return {"kernel_int8": q, "scale": s}
 
     def q_stack(key, depth, width, ffn, head_dim):
         ks = jax.random.split(key, 4)
@@ -342,8 +588,8 @@ def init_params_quantized(cfg, rng, scale_mag: float = 0.01) -> Params:
                 "norm_k": {"scale": jnp.ones((depth, head_dim), jnp.float32)},
             },
             "ffn": {
-                "fc1": q_linear(ks[2], width, 2 * ffn, depth),
-                "fc2": q_linear(ks[3], ffn, width, depth),
+                "fc1": q_linear(ks[2], width, 2 * ffn, depth, kind="fc1"),
+                "fc2": q_linear(ks[3], ffn, width, depth, kind="fc2"),
             },
             "layer_scale": {
                 "gamma": jnp.full((depth, width), cfg.layer_scale_init, jnp.float32)
