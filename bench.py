@@ -118,7 +118,11 @@ def measure(fwd, params, batch, b, iters, warmup=2):
     float(fwd(params, batch, jnp.float32(counter), 1)[0])
     counter += 1
     t_single = time.perf_counter() - t0
-    chain = int(min(max(round(0.5 / max(t_single, 1e-3)), 1), 32))
+    # Target ~1.5s of device work per timed call, never fewer than 2
+    # chained forwards: at chain=1 the ~29ms tunnel RTT lands in every
+    # call (measured +0.3-0.45 ms/img on the 5B rows, which previously
+    # fell below the old 0.5s threshold and ran unchained).
+    chain = int(min(max(round(1.5 / max(t_single, 1e-3)), 2), 32))
     for _ in range(max(warmup - 1, 1)):
         float(fwd(params, batch, jnp.float32(counter), chain)[0])
         counter += 1

@@ -87,7 +87,14 @@ def _pick_group_channels(
                 # working set is dominated by the N*N scores, which no
                 # group choice can shrink).
                 best = cg
-            elif estimate(n, cg) <= _VMEM_BUDGET:
+            elif estimate(n, cg) <= _VMEM_BUDGET and (
+                estimate is not _vmem_estimate or cg < c or c == d
+            ):
+                # Forward: never collapse to a single head group (hg=1
+                # serializes the grid — Mosaic can only overlap DMAs
+                # across grid cells). Measured at the 5B shape (c=3072,
+                # n=256): cg=1536 runs 1.57 ms/layer vs 1.89 at cg=3072
+                # and 2.63 at cg=128.
                 best = cg
         cg += d
     return best
