@@ -51,21 +51,37 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int,
     side = int(np.sqrt(n_tokens))
     data = make_batch(batch, n_tokens, (side, side), cfg.pixels_per_token)
 
-    def fwd(p, d, i):
-        d = dict(d, patches=d["patches"] + (i * 0.0).astype(jnp.bfloat16))
-        out = forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
-        return jnp.mean(out["patches"].astype(jnp.float32))
+    import functools
 
-    jfwd = jax.jit(fwd)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def jfwd(p, d, i, chain):
+        # Chain `chain` forwards in-jit (each feeding the next) so the
+        # ~29ms tunnel RTT amortizes — same discipline as bench.measure.
+        patches = d["patches"] + (i * 0.0).astype(jnp.bfloat16)
+
+        def body(_, pt):
+            out = forward_apply(p, dict(d, patches=pt), cfg,
+                                compute_dtype=jnp.bfloat16)
+            return out["patches"]
+
+        final = jax.lax.fori_loop(0, chain, body, patches)
+        return jnp.mean(final.astype(jnp.float32))
+
     c = 0
-    for _ in range(2):
-        float(jfwd(params, data, jnp.float32(c)))
-        c += 1
+    float(jfwd(params, data, jnp.float32(c), 1))
+    c += 1
+    t0 = time.perf_counter()
+    float(jfwd(params, data, jnp.float32(c), 1))
+    c += 1
+    t_single = time.perf_counter() - t0
+    chain = int(min(max(round(1.5 / max(t_single, 1e-3)), 2), 32))
+    float(jfwd(params, data, jnp.float32(c), chain))
+    c += 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(jfwd(params, data, jnp.float32(c)))
+        float(jfwd(params, data, jnp.float32(c), chain))
         c += 1
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * chain)
     # Analytic forward FLOPs (2 * params * tokens per image): XLA cost
     # analysis counts a lax.scan body once, not x depth, so it undercounts
     # scanned models ~depth-fold.

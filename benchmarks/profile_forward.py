@@ -62,6 +62,8 @@ def main():
                     help="profile the full train step (AdamW, remat save-3)")
     ap.add_argument("--checkpoint", type=int, default=1)
     ap.add_argument("--remat-save", default="qkv_out,ffn_hid,attn_out")
+    ap.add_argument("--sw", type=int, default=0,
+                    help="sliding attention window (high-res profiling)")
     args = ap.parse_args()
 
     import dataclasses
@@ -71,6 +73,8 @@ def main():
     from vitok_tpu.models.ae import forward_apply
 
     cfg = AEConfig.from_variant(args.variant, attn_impl="auto")
+    if args.sw:
+        cfg = dataclasses.replace(cfg, sw=args.sw)
     side = int(args.tokens ** 0.5)
     batch = make_batch(
         args.batch, args.tokens, (side, side), cfg.pixels_per_token
