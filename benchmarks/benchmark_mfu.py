@@ -45,9 +45,11 @@ def run_one(variant: str, n_tokens: int, batch: int, iters: int,
     params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     if dtype == "int8":
-        from vitok_tpu.ops.quant import quantize_block_params
+        # Device-native quantization: the host path round-trips multi-GB
+        # params through the tunnel (minutes-slow at 5B scale).
+        from vitok_tpu.ops.quant import quantize_block_params_device
 
-        params = quantize_block_params(params)
+        params = quantize_block_params_device(params)
     side = int(np.sqrt(n_tokens))
     data = make_batch(batch, n_tokens, (side, side), cfg.pixels_per_token)
 
