@@ -152,18 +152,19 @@ def patches_to_images(patches: np.ndarray, grid, patch: int = 16) -> np.ndarray:
     return x.reshape(b, 3, gr * patch, gc * patch)
 
 
-def ssim_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid,
-              patch: int = 16) -> float:
-    """Mean SSIM between bf16 and int8 reconstructions (host, CPU jax)."""
-    from vitok_tpu.losses import ssim
+def quality_gate(ref_patches: np.ndarray, q_patches: np.ndarray, grid,
+                 patch: int = 16) -> tuple:
+    """(SSIM, PSNR dB) between bf16 and int8 reconstructions (host jax)."""
+    from vitok_tpu.losses import psnr, ssim
 
     ref = patches_to_images(ref_patches, grid, patch)
     qnt = patches_to_images(q_patches, grid, patch)
     rng = float(ref.max() - ref.min()) or 1.0
-    val = ssim(
-        jnp.asarray(ref), jnp.asarray(qnt), data_range=rng, reduce=True
+    r, q = jnp.asarray(ref), jnp.asarray(qnt)
+    return (
+        float(ssim(r, q, data_range=rng, reduce=True)),
+        float(psnr(r, q, data_range=rng, reduce=True)),
     )
-    return float(val)
 
 
 def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
@@ -217,9 +218,9 @@ def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
     }
     if with_gate:
         recon_q = gate_recon(fwd, params, data)
-        row["ssim_vs_bf16"] = round(
-            ssim_gate(recon_bf, recon_q, grid, patch), 4
-        )
+        s, p = quality_gate(recon_bf, recon_q, grid, patch)
+        row["ssim_vs_bf16"] = round(s, 4)
+        row["psnr_vs_bf16_db"] = round(p, 2)
     rows.append(row)
     print(f"# {variant}@{res}p int8 b={batch}: {q_img_s:.1f} img/s "
           f"({q_ms:.3f} ms/img)"
