@@ -341,3 +341,156 @@ class TestRoutingGates:
     def test_off_tpu_gate_closed(self):
         assert not fa.can_fuse(256, 1024, 16)
         assert not fa.can_fuse_bwd(256, 1024, 16)
+        assert not fa.can_fuse_q8(256, 1024, 16)
+
+    def test_q8_gate_default_off(self, monkeypatch):
+        # Measured slower in situ (see fused_attention._ENABLE_Q8): the
+        # gate must stay closed unless explicitly opted in, even on TPU.
+        self._tpu(monkeypatch)
+        assert not fa.can_fuse_q8(256, 3072, 24)
+
+    def test_q8_gate_shapes(self, monkeypatch):
+        self._tpu(monkeypatch)
+        monkeypatch.setattr(fa, "_ENABLE_Q8", True)
+        # The 256-token rows host the [N, C] accumulator comfortably.
+        assert fa.can_fuse_q8(256, 1024, 16)   # 350M @256p
+        assert fa.can_fuse_q8(256, 3072, 24)   # 5B @256p
+        # Never looser than the plain forward gate.
+        for n, c, h in [
+            (256, 1024, 16), (1024, 1024, 16), (256, 3072, 24),
+            (1024, 3072, 24), (252, 1024, 16), (256, 96 * 16, 16),
+        ]:
+            if fa.can_fuse_q8(n, c, h):
+                assert fa.can_fuse(n, c, h), (n, c, h)
+
+
+class TestQuantEpilogue:
+    """The int8-epilogue forward must match
+    ``quantize_activation(fused_qkv_attention(...))`` — same op recipe, so
+    scales agree to float rounding and int8 codes to at most one step
+    (the two programs compile separately; XLA may fuse the shared forward
+    math differently, moving values near rounding boundaries by 1 ULP)."""
+
+    def _check(self, b, n, heads, d, mask=None, sw=None, dtype=jnp.float32,
+               seed=0):
+        from vitok_tpu.ops.quant import quantize_activation
+
+        qkv, qs, ks, cos, sin = make_inputs(
+            b=b, n=n, heads=heads, d=d, seed=seed, dtype=dtype
+        )
+        oq, oscale = fa.fused_qkv_attention_q8(
+            qkv, qs, ks, cos, sin, mask,
+            num_heads=heads, sliding_window=sw, interpret=True,
+        )
+        ref = fused_interp(qkv, qs, ks, cos, sin, mask, heads, sw)
+        want_q, want_s = quantize_activation(ref)
+        assert oq.dtype == jnp.int8 and oscale.shape == (b, n, 1)
+        np.testing.assert_allclose(
+            np.asarray(oscale), np.asarray(want_s), rtol=1e-6
+        )
+        dq = np.abs(
+            np.asarray(oq, np.int32) - np.asarray(want_q, np.int32)
+        )
+        assert dq.max() <= 1
+        assert (dq > 0).mean() < 0.01
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_no_mask(self, dtype):
+        self._check(b=2, n=64, heads=4, d=32, dtype=dtype)
+
+    def test_tail_mask(self):
+        mask = jnp.asarray(
+            np.arange(64)[None, :] < np.array([[64], [40]]), bool
+        )
+        self._check(b=2, n=64, heads=4, d=32, mask=mask)
+
+    def test_slab_path_d64_with_window(self):
+        mask = jnp.asarray(
+            np.arange(64)[None, :] < np.array([[64], [37]]), bool
+        )
+        self._check(b=2, n=64, heads=4, d=64, mask=mask, sw=9,
+                    dtype=jnp.bfloat16)
+
+    def test_multiple_head_groups(self, monkeypatch):
+        # Force >1 head group so the scratch accumulation + last-group
+        # quantize actually crosses grid cells.
+        monkeypatch.setattr(fa, "_VMEM_BUDGET", 2 * 1024 * 1024)
+        c, d, n = 8 * 64, 64, 32
+        assert 0 < fa._pick_group_channels_q8(c, d, n, lane_align=False) < c
+        self._check(b=2, n=n, heads=8, d=d)
+
+
+class TestModelQ8Routing:
+    """Execute the ae.py int8 out-projection epilogue branch end-to-end.
+
+    ``_block_body`` routes inference int8 attention through
+    ``fused_qkv_attention_q8`` + ``int8_matmul_prequant`` when
+    ``can_fuse_q8`` opens (TPU only). Off-TPU the branch is dead code, so
+    force it open here (interpret-mode kernels) and check the full model
+    forward against the same model with the branch closed — the fused
+    attention + XLA ``quantize_activation`` chain it replaces.
+    """
+
+    def _cfg_params_batch(self):
+        from vitok_tpu.models import AEConfig, init_params
+        from vitok_tpu.ops.quant import quantize_block_params
+        from tests.test_ae import make_batch
+
+        # d=64, c=256 -> lane-aligned q8 group cg=128 < c (two groups,
+        # packed two-heads-per-slab path) — the gate shape class the 350M
+        # family hits on TPU.
+        cfg = AEConfig(
+            encoder_width=256, decoder_width=256,
+            encoder_depth=2, decoder_depth=2,
+            encoder_heads=4, decoder_heads=4,
+            channels_per_token=8, pixels_per_token=768,
+            attn_impl="auto",
+            layer_scale_init=1.0,  # O(1) gamma: attenuation-free comparison
+        )
+        params = quantize_block_params(
+            init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        )
+        batch = make_batch(b=2, n=64, grid=(8, 8), valid=40)
+        return cfg, params, batch
+
+    def test_int8_forward_matches_quant_chain(self, monkeypatch):
+        import functools
+        from vitok_tpu.models.ae import forward_apply
+
+        cfg, params, batch = self._cfg_params_batch()
+        assert fa._pick_group_channels_q8(256, 64, 64) == 128
+
+        monkeypatch.setattr(fa, "_backend_is_tpu", lambda: True)
+        monkeypatch.setattr(fa, "_ENABLE_Q8", True)
+        monkeypatch.setattr(
+            fa, "fused_qkv_attention_q8",
+            functools.partial(fa.fused_qkv_attention_q8, interpret=True),
+        )
+        monkeypatch.setattr(
+            fa, "fused_qkv_attention",
+            functools.partial(fa.fused_qkv_attention, interpret=True),
+        )
+
+        got = forward_apply(params, batch, cfg)["patches"]
+
+        # Same model, q8 epilogue closed: fused attention kernel + the XLA
+        # quantize chain. Differences are confined to int8 codes moving by
+        # <=1 step at rounding boundaries (separate compilations).
+        monkeypatch.setattr(fa, "can_fuse_q8", lambda *a: False)
+        want = forward_apply(params, batch, cfg)["patches"]
+
+        got32 = np.asarray(got, np.float32)
+        want32 = np.asarray(want, np.float32)
+        scale = np.abs(want32).max()
+        assert np.abs(got32 - want32).max() <= 0.02 * scale
+
+        # And against the fully unfused int8 path (no megakernel at all) —
+        # on VALID tokens only: dead padding queries produce arbitrary
+        # (never-consumed) values that differ between the kernel's key-side
+        # mask and the unfused two-sided mask.
+        monkeypatch.setattr(fa, "can_fuse", lambda *a: False)
+        unfused = np.asarray(
+            forward_apply(params, batch, cfg)["patches"], np.float32
+        )
+        valid = np.asarray(batch["patch_mask"], bool)
+        assert np.abs(got32 - unfused)[valid].max() <= 0.05 * scale

@@ -394,7 +394,12 @@ def _block_body(
         hid = checkpoint_name(hid, "ffn_hid")
 
     # --- attention branch ---
-    from vitok_tpu.ops.fused_attention import can_fuse, fused_qkv_attention
+    from vitok_tpu.ops.fused_attention import (
+        can_fuse,
+        can_fuse_q8,
+        fused_qkv_attention,
+        fused_qkv_attention_q8,
+    )
 
     # The fused megakernel is an INFERENCE path: under training remat its
     # recompute-backward (custom-vjp re-runs the unfused composition) costs
@@ -412,16 +417,47 @@ def _block_body(
         # straight from the flat QKV GEMM output — no 5-D reshape/relayout
         # copies, no HBM-materialized [B, H, N, N] logits (those measured
         # ~40% of the 5B int8 decoder loop in the round-3 xplane trace).
-        attn = fused_qkv_attention(
-            qkv_out,
-            blk["attn"]["norm_q"]["scale"],
-            blk["attn"]["norm_k"]["scale"],
-            rope[0], rope[1],
-            patch_mask,
-            num_heads=num_heads,
-            sliding_window=sliding_window,
-            impl="fused",
-        )
+        out_p = blk["attn"]["out"]
+        if (
+            inference
+            and "kernel_int8" in out_p
+            and can_fuse_q8(n, c, num_heads)
+        ):
+            # int8 out-projection: quantize per token INSIDE the kernel
+            # epilogue (same recipe as quantize_activation of the bf16
+            # output) so the attention result reaches HBM as int8+scales.
+            # OPT-IN ONLY (VITOK_Q8_EPILOGUE=1): despite removing ~300 MB
+            # of quantize-chain HBM traffic per 5B layer, the interleaved
+            # A/B measured it +3.3% slower at the 5B headline and neutral
+            # at 350M — the XLA chain overlaps with the DMA-bound kernel
+            # (see fused_attention._ENABLE_Q8).
+            from vitok_tpu.ops.quant import int8_matmul_prequant
+
+            aq, a_scale = fused_qkv_attention_q8(
+                qkv_out,
+                blk["attn"]["norm_q"]["scale"],
+                blk["attn"]["norm_k"]["scale"],
+                rope[0], rope[1],
+                patch_mask,
+                num_heads=num_heads,
+                sliding_window=sliding_window,
+            )
+            attn = int8_matmul_prequant(aq, a_scale, out_p, h.dtype)
+            if "bias" in out_p:
+                attn = attn + out_p["bias"].astype(h.dtype)
+            attn_projected = True
+        else:
+            attn = fused_qkv_attention(
+                qkv_out,
+                blk["attn"]["norm_q"]["scale"],
+                blk["attn"]["norm_k"]["scale"],
+                rope[0], rope[1],
+                patch_mask,
+                num_heads=num_heads,
+                sliding_window=sliding_window,
+                impl="fused",
+            )
+            attn_projected = False
     else:
         # NOTE: keep the 5-D reshape+index split. Flat last-dim slices look
         # cheaper but measured 13% SLOWER on the 5B int8 forward (three
@@ -445,8 +481,10 @@ def _block_body(
             # can't engage (CPU, odd shape) degrade to auto routing.
             impl="auto" if attn_impl == "fused" else attn_impl,
         ).reshape(b, n, c)
-    attn = checkpoint_name(attn, "attn_out")
-    attn = _linear(attn, blk["attn"]["out"])
+        attn_projected = False
+    if not attn_projected:
+        attn = checkpoint_name(attn, "attn_out")
+        attn = _linear(attn, blk["attn"]["out"])
 
     # --- mlp branch (parallel: reads the same normed input) ---
     fc2_p = blk["ffn"]["fc2"]

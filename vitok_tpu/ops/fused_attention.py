@@ -39,6 +39,7 @@ back to recomputing the unfused composition and reusing its VJP.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -193,7 +194,7 @@ def _norm_rope_packed(x, scale_w, cos_ext, sin_sgn, s_mat, d: int,
     return yb * cos_ext + ysw * sin_sgn
 
 
-def _fused_kernel(
+def _attend_cell(
     qmask_ref,  # [1, 1, N] int32 (1 = valid) — key/query validity
     cos_ref,    # [1, N, D//2] in the activation dtype
     sin_ref,    # [1, N, D//2] in the activation dtype
@@ -202,13 +203,19 @@ def _fused_kernel(
     q_ref,      # [1, N, C_g] — q plane slice of the qkv GEMM output
     k_ref,      # [1, N, C_g]
     v_ref,      # [1, N, C_g]
-    o_ref,      # [1, N, C_g]
+    write,      # callback: write(sl: slice, value [N, |sl|] in out dtype)
     *,
     heads_per_group: int,
     head_dim: int,
     sliding_window: Optional[int],
     use_mask: bool,
+    out_dtype,
 ):
+    """One (batch, head-group) cell: norm + RoPE + attention per head slab.
+
+    Shared between the bf16-out kernel (writes straight to its output
+    block) and the int8-epilogue kernel (writes to a VMEM accumulator).
+    """
     n = q_ref.shape[1]
     d = head_dim
     inv_sqrt_d = 1.0 / (d ** 0.5)
@@ -273,20 +280,108 @@ def _fused_kernel(
             v2 = v_ref[0, :, sl2]
             if d == _PACK_W:  # one head fills the slab
                 o = _attend_one(q2, k2, v2)
-                o_ref[0, :, sl2] = o.astype(o_ref.dtype)
+                write(sl2, o.astype(out_dtype))
             else:  # two d=64 heads per slab
                 o1 = _attend_one(q2[:, :d], k2[:, :d], v2[:, :d])
                 o2 = _attend_one(q2[:, d:], k2[:, d:], v2[:, d:])
-                o_ref[0, :, sl2] = jnp.concatenate(
-                    [o1, o2], axis=-1
-                ).astype(o_ref.dtype)
+                write(sl2, jnp.concatenate([o1, o2], axis=-1).astype(out_dtype))
     else:
         for h in range(heads_per_group):
             sl = slice(h * d, (h + 1) * d)
             q = _norm_rope_half(q_ref[0, :, sl], qs, cos_b, sin_b)
             k = _norm_rope_half(k_ref[0, :, sl], ks, cos_b, sin_b)
             o = _attend_one(q, k, v_ref[0, :, sl])
-            o_ref[0, :, sl] = o.astype(o_ref.dtype)
+            write(sl, o.astype(out_dtype))
+
+
+def _fused_kernel(
+    qmask_ref, cos_ref, sin_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+    o_ref,  # [1, N, C_g]
+    *,
+    heads_per_group: int,
+    head_dim: int,
+    sliding_window: Optional[int],
+    use_mask: bool,
+):
+    def write(sl, val):
+        o_ref[0, :, sl] = val
+
+    _attend_cell(
+        qmask_ref, cos_ref, sin_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+        write,
+        heads_per_group=heads_per_group,
+        head_dim=head_dim,
+        sliding_window=sliding_window,
+        use_mask=use_mask,
+        out_dtype=o_ref.dtype,
+    )
+
+
+def _fused_kernel_q8(
+    qmask_ref, cos_ref, sin_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+    oq_ref,   # [1, N, C] int8 — full-width block, revisited across groups
+    os_ref,   # [1, N, 1] f32 per-token scales
+    acc_ref,  # VMEM scratch [HG, N, C_g] in the activation dtype
+    *,
+    heads_per_group: int,
+    head_dim: int,
+    sliding_window: Optional[int],
+    use_mask: bool,
+    hg: int,
+):
+    """Megakernel forward with a per-token int8 quantize epilogue.
+
+    Per-token symmetric quantization needs the absmax over the FULL channel
+    axis, but each grid cell only computes one head-group slab — so slabs
+    accumulate in a VMEM scratch (the head-group grid dim runs sequentially
+    on a TPU core) and the LAST group's cell quantizes the whole [N, C] row
+    block and writes int8 + scales. Same recipe as
+    ``quantize_activation(megakernel_output)`` — slab values stored in the
+    activation dtype before the fp32 absmax/round — so codes agree to at
+    most one quantization step (separate compilations may move values near
+    rounding boundaries by 1 ULP).
+
+    Saves the output projection's separate quantize chain — at the 5B
+    256-token decoder shape the bf16 write + absmax read + rescale
+    read/write is ~300 MB of HBM traffic per layer (batch 64) that this
+    epilogue removes entirely.
+    """
+    g = pl.program_id(1)
+    cg = heads_per_group * head_dim
+
+    def write(sl, val):
+        acc_ref[g, :, sl] = val
+
+    _attend_cell(
+        qmask_ref, cos_ref, sin_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+        write,
+        heads_per_group=heads_per_group,
+        head_dim=head_dim,
+        sliding_window=sliding_window,
+        use_mask=use_mask,
+        out_dtype=acc_ref.dtype,
+    )
+
+    @pl.when(g == hg - 1)
+    def _quantize_epilogue():
+        amax = jnp.max(
+            jnp.abs(acc_ref[0].astype(jnp.float32)), axis=-1, keepdims=True
+        )
+        for gg in range(1, hg):
+            amax = jnp.maximum(
+                amax,
+                jnp.max(
+                    jnp.abs(acc_ref[gg].astype(jnp.float32)),
+                    axis=-1, keepdims=True,
+                ),
+            )
+        scale = jnp.maximum(amax / 127.0, 1e-12)  # [N, 1]
+        os_ref[0] = scale
+        for gg in range(hg):
+            x32 = acc_ref[gg].astype(jnp.float32)
+            oq_ref[0, :, gg * cg:(gg + 1) * cg] = jnp.clip(
+                jnp.round(x32 / scale), -127, 127
+            ).astype(jnp.int8)
 
 
 def _fused_fwd(
@@ -354,6 +449,167 @@ def _fused_fwd(
         q_scale.reshape(1, d),
         k_scale.reshape(1, d),
         qkv, qkv, qkv,
+    )
+
+
+def _vmem_estimate_q8(n: int, cg: int, c: int) -> int:
+    # Forward working set plus the [HG, N, C_g] accumulator (activation
+    # dtype, HG*C_g == C) and the revisited int8 [N, C] output block.
+    return 16 * n * cg + 10 * n * n + 3 * n * c
+
+
+def _pick_group_channels_q8(c: int, d: int, n: int, lane_align: bool = True) -> int:
+    """Group size for the int8-epilogue kernel: same rules as the forward
+    (divides C, head- and lane-aligned, >= 2 groups) but the accumulator
+    must also fit, so the budget is a hard gate — returns 0 when the shape
+    can't host the epilogue (fall back to the bf16 kernel + XLA quant)."""
+    best = 0
+    cg = d
+    while cg <= c:
+        if (
+            c % cg == 0
+            and (cg % 128 == 0 or not lane_align)
+            and _vmem_estimate_q8(n, cg, c) <= _VMEM_BUDGET
+            and (cg < c or c == d)
+        ):
+            best = cg
+        cg += d
+    return best
+
+
+def _fused_fwd_q8(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array],
+    num_heads: int,
+    sliding_window: Optional[int],
+    interpret: bool,
+) -> Tuple[Array, Array]:
+    """Forward + per-token int8 quantize epilogue.
+
+    Returns ``(q_int8 [B, N, C], scale [B, N, 1] f32)`` ready for
+    ``ops.quant.int8_matmul_prequant`` — the attention output never reaches
+    HBM in bf16. Inference-only (no VJP); callers gate on ``can_fuse_q8``.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    cg = _pick_group_channels_q8(c, d, n, lane_align=not interpret)
+    if d == 64 and cg == d and c % (2 * d) == 0:
+        cg = 2 * d  # pair d=64 heads per 128-lane slab (see _norm_rope_packed)
+    hg = c // cg
+
+    if patch_mask is None:
+        mask = jnp.ones((b, n), jnp.int32)
+        use_mask = False
+    else:
+        mask = patch_mask.astype(jnp.int32)
+        use_mask = True
+
+    kernel = functools.partial(
+        _fused_kernel_q8,
+        heads_per_group=cg // d,
+        head_dim=d,
+        sliding_window=sliding_window,
+        use_mask=use_mask,
+        hg=hg,
+    )
+
+    d2 = d // 2
+    in_specs = [
+        pl.BlockSpec((1, 1, n), lambda bb, g: (bb, 0, 0)),    # mask
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # cos
+        pl.BlockSpec((1, n, d2), lambda bb, g: (bb, 0, 0)),   # sin
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # q scale
+        pl.BlockSpec((1, d), lambda bb, g: (0, 0)),           # k scale
+        pl.BlockSpec((1, n, cg), lambda bb, g: (bb, 0, g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, _hg + g)),
+        pl.BlockSpec((1, n, cg), lambda bb, g, _hg=hg: (bb, 0, 2 * _hg + g)),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, n, c), lambda bb, g: (bb, 0, 0)),
+        pl.BlockSpec((1, n, 1), lambda bb, g: (bb, 0, 0)),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        # The head-group dim accumulates into scratch and quantizes on its
+        # last step — it must run in order ("arbitrary"), not be split.
+        grid=(b, hg),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((hg, n, cg), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        mask[:, None, :],
+        cos.astype(qkv.dtype),
+        sin.astype(qkv.dtype),
+        q_scale.reshape(1, d),
+        k_scale.reshape(1, d),
+        qkv, qkv, qkv,
+    )
+
+
+# The int8 quantize epilogue is OFF by default: interleaved A/B on the real
+# chip (benchmarks/ab_q8_epilogue.py, round 4) measured it +3.3% SLOWER on
+# the 5B int8 headline (9.47 vs 9.17 ms/img) and neutral (-0.3%, noise) on
+# 350M @256p — the separate XLA quantize chain overlaps with the DMA-bound
+# megakernel, while the in-kernel epilogue adds critical-path VPU work.
+# Kept as an opt-in lever (VITOK_Q8_EPILOGUE=1) and for future non-DMA-bound
+# shapes; numerics are parity-tested in tests/test_fused_attention.py.
+_ENABLE_Q8 = os.environ.get("VITOK_Q8_EPILOGUE", "0") not in ("", "0")
+
+
+def can_fuse_q8(n: int, c: int, num_heads: int) -> bool:
+    """Whether the int8-epilogue forward supports this shape (the [N, C]
+    accumulator + int8 output block tighten the VMEM envelope). Also gated
+    on the opt-in ``VITOK_Q8_EPILOGUE`` flag — measured slower in situ on
+    the DMA-bound headline shapes (see ``_ENABLE_Q8``)."""
+    if not _ENABLE_Q8:
+        return False
+    d = c // num_heads
+    return (
+        _backend_is_tpu()
+        and n <= MAX_FUSED_TOKENS
+        and n % 8 == 0
+        and c % num_heads == 0
+        and d % 64 == 0
+        and _pick_group_channels_q8(c, d, n) > 0
+    )
+
+
+def fused_qkv_attention_q8(
+    qkv: Array,
+    q_scale: Array,
+    k_scale: Array,
+    cos: Array,
+    sin: Array,
+    patch_mask: Optional[Array] = None,
+    *,
+    num_heads: int,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """``fused_qkv_attention`` + per-token int8 quantize in one kernel.
+
+    Inference-only (not differentiable): the int8 output feeds the output
+    projection's ``int8_matmul_prequant`` directly, eliminating the
+    separate XLA quantize chain over the bf16 attention output. Quantized
+    values match ``quantize_activation(fused_output)`` within one step.
+    """
+    return _fused_fwd_q8(
+        qkv, q_scale, k_scale, cos, sin, patch_mask,
+        num_heads, sliding_window, interpret=interpret,
     )
 
 
@@ -768,8 +1024,10 @@ def fused_qkv_attention(
 
 __all__ = [
     "fused_qkv_attention",
+    "fused_qkv_attention_q8",
     "unfused_qkv_attention",
     "can_fuse",
     "can_fuse_bwd",
+    "can_fuse_q8",
     "MAX_FUSED_TOKENS",
 ]
