@@ -138,22 +138,31 @@ def main():
     # --- metrics ---------------------------------------------------------
     metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
     fid_fn = fdd_fn = None
+    # Native-aspect runs without --buckets see one input shape per image;
+    # bucketed resize bounds the feature extractors' compile count there
+    # (weights ride as data over zero-padded buckets, numerics equal to
+    # the exact per-shape resize up to f32 contraction rounding).
+    bres = bool(args.pp_mode == "native" and not args.buckets)
     if args.feature_backbone == "random-proj":
         from vitok_tpu.eval_features import random_projection_feature_fn
 
         if "fid" in metric_names:
-            fid_fn = random_projection_feature_fn(dim=64, seed=0)
+            fid_fn = random_projection_feature_fn(
+                dim=64, seed=0, bucketed_resize=bres
+            )
         if "fdd" in metric_names:
-            fdd_fn = random_projection_feature_fn(dim=64, seed=1)
+            fdd_fn = random_projection_feature_fn(
+                dim=64, seed=1, bucketed_resize=bres
+            )
     else:
         if "fid" in metric_names:
             from vitok_tpu.eval_features import inception_feature_fn
 
-            fid_fn = inception_feature_fn()
+            fid_fn = inception_feature_fn(bucketed_resize=bres)
         if "fdd" in metric_names:
             from vitok_tpu.eval_features import dino_feature_fn
 
-            fdd_fn = dino_feature_fn()
+            fdd_fn = dino_feature_fn(bucketed_resize=bres)
     calc = MetricCalculator(
         metrics=metric_names, fid_feature_fn=fid_fn, fdd_feature_fn=fdd_fn
     )
