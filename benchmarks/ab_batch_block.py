@@ -93,9 +93,70 @@ def _kernel_bb(
         )
 
 
+def _kernel_pack(
+    qmask_ref, cos_ref, sin_ref, qs_ref, ks_ref, q_ref, k_ref, v_ref,
+    o_ref,  # [bb, N, C_g]
+    *,
+    bb: int,
+    heads_per_group: int,
+    head_dim: int,
+    use_mask: bool,
+):
+    """bb images packed along the TOKEN axis of one score tile.
+
+    At n=64 the per-head score/PV matmuls are [64, d]x[d, 64] — half the
+    MXU's 128 rows idle — and every [64, 64] VPU pass runs on 64 of 128
+    lanes. Stacking bb images gives [bb*64, d] operands and one
+    [bb*n, bb*n] score tile with cross-image blocks masked to -inf
+    (exact: exp2 underflows to 0, PV adds exact zeros), so the per-image
+    math is bit-identical to the unpacked kernel.
+    """
+    d = head_dim
+    n = q_ref.shape[1]
+    nn = bb * n
+    qs = qs_ref[:, :].astype(jnp.float32)
+    ks = ks_ref[:, :].astype(jnp.float32)
+    cat = lambda ref: jnp.concatenate([ref[i] for i in range(bb)], axis=0)
+    cos_b = cat(cos_ref)  # [nn, d2]
+    sin_b = cat(sin_ref)
+    q_all = cat(q_ref)    # [nn, cg]
+    k_all = cat(k_ref)
+    v_all = cat(v_ref)
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (nn, nn), 0) // n
+    ki = jax.lax.broadcasted_iota(jnp.int32, (nn, nn), 1) // n
+    same_img = qi == ki
+    if use_mask:
+        kv = jnp.concatenate(
+            [qmask_ref[i, 0, :] for i in range(bb)], axis=0
+        )[None, :] > 0  # [1, nn]
+        same_img = jnp.logical_and(same_img, kv)
+
+    score_scale = jnp.float32(1.0 / (d ** 0.5) * 1.4426950408889634)
+    for h in range(heads_per_group):
+        sl = slice(h * d, (h + 1) * d)
+        q = fa._norm_rope_half(q_all[:, sl], qs, cos_b, sin_b)
+        k = fa._norm_rope_half(k_all[:, sl], ks, cos_b, sin_b)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * score_scale
+        s = jnp.where(same_img, s, jnp.float32(fa._NEG_INF))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        for i in range(bb):
+            o_ref[i, :, sl] = o[i * n:(i + 1) * n].astype(o_ref.dtype)
+
+
 def fused_attention_bb(qkv, q_scale, k_scale, cos, sin, patch_mask, *,
                        num_heads, bb, cg, sliding_window=None,
-                       interpret=False):
+                       pack=False, interpret=False):
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -103,14 +164,24 @@ def fused_attention_bb(qkv, q_scale, k_scale, cos, sin, patch_mask, *,
     hg = c // cg
 
     mask = patch_mask.astype(jnp.int32)
-    kernel = functools.partial(
-        _kernel_bb,
-        bb=bb,
-        heads_per_group=cg // d,
-        head_dim=d,
-        sliding_window=sliding_window,
-        use_mask=True,
-    )
+    if pack:
+        assert sliding_window is None
+        kernel = functools.partial(
+            _kernel_pack,
+            bb=bb,
+            heads_per_group=cg // d,
+            head_dim=d,
+            use_mask=True,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel_bb,
+            bb=bb,
+            heads_per_group=cg // d,
+            head_dim=d,
+            sliding_window=sliding_window,
+            use_mask=True,
+        )
     d2 = d // 2
     in_specs = [
         pl.BlockSpec((bb, 1, n), lambda bi, g: (bi, 0, 0)),    # mask
@@ -168,7 +239,7 @@ def main():
     mask = jnp.ones((b, n), jnp.int32)
     layers = args.layers
 
-    def make_run(bb, cg):
+    def make_run(bb, cg, pack=False):
         if bb == 1 and cg is None:
             def call(qkv_, cos_):
                 return fa.fused_qkv_attention(
@@ -179,7 +250,7 @@ def main():
             def call(qkv_, cos_):
                 return fused_attention_bb(
                     qkv_, q_scale, k_scale, cos_, sin, mask,
-                    num_heads=h, bb=bb, cg=cg,
+                    num_heads=h, bb=bb, cg=cg, pack=pack,
                 )
 
         @jax.jit
@@ -200,13 +271,19 @@ def main():
         ("S2", 2, 768,  "bb=2 cg=768: same 128 cells, control"),
         ("D2", 2, 1536, "bb=2 cg=1536: 64 cells, 2x bytes/cell"),
         ("D4", 4, 768,  "bb=4 cg=768: 64 cells, 2x bytes/cell"),
+        ("C768", 1, 768,  "bb=1 cg=768: 2x cells, half bytes/cell"),
+        ("C512", 1, 512,  "bb=1 cg=512"),
+        ("C384", 1, 384,  "bb=1 cg=384: 4x cells"),
+        ("C256", 1, 256,  "bb=1 cg=256"),
+        ("C128", 1, 128,  "bb=1 cg=128: one head per cell"),
+        ("P2", 2, 1536, "2 images packed per score tile (block-diag mask)"),
     ]
 
     arms = []
     ref_out = None
     for name, bb, cg, desc in arm_defs:
         try:
-            call, run = make_run(bb, cg)
+            call, run = make_run(bb, cg, pack=name.startswith("P"))
             out = call(qkv, cos)
             out.block_until_ready()
             if ref_out is None:

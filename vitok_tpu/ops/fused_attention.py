@@ -98,6 +98,25 @@ def _pick_group_channels(
                 # and 2.63 at cg=128.
                 best = cg
         cg += d
+    if estimate is _vmem_estimate and n <= 64 and best > 4 * d:
+        # Small-N regime (the f32 patch-32 family: 64 tokens @256p): the
+        # per-head score/PV matmuls are tiny, so the largest-group choice
+        # serializes a long per-head chain inside few cells. The measured
+        # sweep at the 5B f32 decoder shape (c=3072, d=128, n=64, b=256 —
+        # benchmarks/ab_batch_block.py, 256 calls chained) has its optimum
+        # at cg=4*d: 2.29 (cg=512) / 2.33 (384) / 2.52 (256) / 2.56 (768)
+        # vs 3.66 ms/call at the large-group pick (cg=1536, −37%) and 4.47
+        # at cg=d. n=256+ keeps the large-group rule (measured above);
+        # 64<n<256 is unswept and conservatively stays large-group too.
+        target = 4 * d
+        cand = 0
+        cg = d
+        while cg <= min(target, best):
+            if c % cg == 0 and (cg % 128 == 0 or not lane_align) and cg < c:
+                cand = cg
+            cg += d
+        if cand:
+            best = cand
     return best
 
 
