@@ -27,7 +27,16 @@ Timing discipline per CLAUDE.md: all arms compiled up front, interleaved
 in one process, ``layers`` calls chained in-jit with the loop-carried
 dependency through the small RoPE table, scalar fetched per call.
 
-    python benchmarks/ab_batch_block.py --c 3072 --heads 24 --tokens 256 --batch 64
+Recorded invocations (the numbers quoted in BASELINE_NOTE.md round 4 and
+``ops/fused_attention.py``'s group-size comments were produced with these
+exact flags — the defaults are a quick smoke, not the recorded runs):
+
+    # round-4 batch-block/grid sweep, 5B int8 decoder shape (bf16 qkv):
+    python benchmarks/ab_batch_block.py --c 3072 --heads 24 --tokens 256 \
+        --batch 64 --layers 256 --iters 6
+    # small-N f32-family cg sweep (the _pick_group_channels n<=64 override):
+    python benchmarks/ab_batch_block.py --c 3072 --heads 24 --tokens 64 \
+        --batch 256 --dtype float32 --layers 256 --iters 6
 """
 
 from __future__ import annotations
@@ -223,13 +232,18 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--layers", type=int, default=8,
                     help="kernel calls chained per jit step")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="qkv dtype (float32 reproduces the small-N "
+                    "f32-family sweep cited by ops/fused_attention.py)")
     args = ap.parse_args()
 
     c, h, n, b = args.c, args.heads, args.tokens, args.batch
     d = c // h
+    qkv_dtype = jnp.dtype(args.dtype)
     key = jax.random.key(0)
     kq, ks_, kc = jax.random.split(key, 3)
-    qkv = jax.random.normal(kq, (b, n, 3 * c), jnp.bfloat16)
+    qkv = jax.random.normal(kq, (b, n, 3 * c), qkv_dtype)
     q_scale = jnp.ones((d,), jnp.float32) + 0.1 * jax.random.normal(ks_, (d,))
     k_scale = jnp.ones((d,), jnp.float32) + 0.1 * jax.random.normal(kc, (d,))
     pos = jnp.arange(n, dtype=jnp.float32)[None, :, None]
@@ -266,8 +280,18 @@ def main():
 
         return call, run
 
+    # B follows the shipped auto pick (which depends on n — the n<=64
+    # small-group override changes it), so its description reports the
+    # resolved cg; G pins the large-group choice explicitly so the
+    # large-vs-small comparison never silently measures the auto pick
+    # against itself.
+    auto_cg = fa._pick_group_channels(c, d, n)
     arm_defs = [
-        ("B",  1, None, "shipped bb=1 cg=auto(1536), 128 cells"),
+        ("B",  1, None, f"shipped bb=1 cg=auto({auto_cg}), "
+                        f"{b * (c // max(auto_cg, 1))} cells"),
+        ("G", 1, max(cg for cg in range(d, c, d)
+                     if c % cg == 0 and cg % 128 == 0),
+         "pinned large-group baseline"),
         ("S2", 2, 768,  "bb=2 cg=768: same 128 cells, control"),
         ("D2", 2, 1536, "bb=2 cg=1536: 64 cells, 2x bytes/cell"),
         ("D4", 4, 768,  "bb=4 cg=768: 64 cells, 2x bytes/cell"),
@@ -306,7 +330,8 @@ def main():
             times[name].append((time.perf_counter() - t0) / layers)
             t += 1.0
 
-    byts = b * n * (3 * c * 2 + c * 2)  # bf16 in + bf16 out
+    isz = qkv_dtype.itemsize
+    byts = b * n * (3 * c * isz + c * isz)  # qkv in + attn out
     for name, _, desc in arms:
         dts = np.array(times[name])
         print(

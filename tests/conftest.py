@@ -67,6 +67,28 @@ def _ensure_native_ext():
 _ensure_native_ext()
 
 
+# Subprocess-heavy e2e modules (each test forks fresh interpreters that
+# re-trace/compile from scratch): the "heavy" tier. The fast tier
+# (`pytest -m 'not heavy'`) keeps full numeric/parity coverage — these
+# modules exercise CLI plumbing and the multi-process runtime on top of
+# library code the fast tier already verifies in-process.
+_HEAVY_MODULES = {
+    "test_bench",
+    "test_eval_harness",
+    "test_multiprocess",
+    "test_pipeline_trainer",
+    "test_pretrained_layout",
+    "test_tokenize_cli",
+    "test_train_highres",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
+
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)

@@ -102,20 +102,21 @@ def _pick_group_channels(
         # Small-N regime (the f32 patch-32 family: 64 tokens @256p): the
         # per-head score/PV matmuls are tiny, so the largest-group choice
         # serializes a long per-head chain inside few cells. The measured
-        # sweep at the 5B f32 decoder shape (c=3072, d=128, n=64, b=256 —
-        # benchmarks/ab_batch_block.py, 256 calls chained) has its optimum
-        # at cg=4*d: 2.29 (cg=512) / 2.33 (384) / 2.52 (256) / 2.56 (768)
-        # vs 3.66 ms/call at the large-group pick (cg=1536, −37%) and 4.47
-        # at cg=d. n=256+ keeps the large-group rule (measured above);
-        # 64<n<256 is unswept and conservatively stays large-group too.
-        target = 4 * d
-        cand = 0
-        cg = d
-        while cg <= min(target, best):
-            if c % cg == 0 and (cg % 128 == 0 or not lane_align) and cg < c:
-                cand = cg
-            cg += d
-        if cand:
+        # sweep at the 5B f32 decoder shape (c=3072, d=128, n=64, b=256;
+        # reproduce: `python benchmarks/ab_batch_block.py --c 3072
+        # --heads 24 --tokens 64 --batch 256 --dtype float32 --layers 256`)
+        # has its optimum at cg=4*d: 2.29 (cg=512) / 2.33 (384) / 2.52
+        # (256) / 2.56 (768) vs 3.66 ms/call at the large-group pick
+        # (cg=1536, −37%) and 4.47 at cg=d. The override is gated on the
+        # exact measured geometry — cg == 4*d must be a valid (divides C,
+        # lane-aligned, < C) group size — so shapes the sweep never
+        # covered (e.g. d=64 models where 4*d=256 doesn't divide C and
+        # the fallback would land near the slow cg=d regime) keep the
+        # measured-safe large-group rule. n=256+ keeps the large-group
+        # rule (measured above); 64<n<256 is unswept and conservatively
+        # stays large-group too.
+        cand = 4 * d
+        if cand < c and c % cand == 0 and (cand % 128 == 0 or not lane_align):
             best = cand
     return best
 

@@ -436,6 +436,35 @@ def unpack(images, orig_h, orig_w) -> List:
 # =============================================================================
 
 
+def sample_tile_indices(
+    orig_h: Array,
+    orig_w: Array,
+    n_tiles: int = 2,
+    tile_size: Tuple[int, int] = (256, 256),
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Draw per-image tile origins without touching the images.
+
+    The index half of :func:`sample_tiles`, factored out so callers that
+    shard images across devices (the pipelined trainer's stage-local SSIM
+    tiles) can draw the indices once at batch level — identical RNG stream
+    to single-device ``sample_tiles(images, ..., rng=rng)`` — and apply
+    them per-shard via ``sample_tiles(..., indices=...)``.
+    """
+    b = orig_h.shape[0]
+    th, tw = tile_size
+    if rng is None:
+        rng = jax.random.key(0)
+    ry_rng, rx_rng = jax.random.split(rng)
+    max_sy = jnp.clip(orig_h.astype(jnp.float32) - th, min=0)
+    max_sx = jnp.clip(orig_w.astype(jnp.float32) - tw, min=0)
+    r_y = jax.random.uniform(ry_rng, (b, n_tiles))
+    r_x = jax.random.uniform(rx_rng, (b, n_tiles))
+    start_y = jnp.floor(r_y * (max_sy[:, None] + 1)).astype(jnp.int32)
+    start_x = jnp.floor(r_x * (max_sx[:, None] + 1)).astype(jnp.int32)
+    return start_y, start_x
+
+
 def sample_tiles(
     images: Array,
     orig_h: Array,
@@ -466,15 +495,9 @@ def sample_tiles(
     ph, pw = images.shape[2], images.shape[3]
 
     if indices is None:
-        if rng is None:
-            rng = jax.random.key(0)
-        ry_rng, rx_rng = jax.random.split(rng)
-        max_sy = jnp.clip(orig_h.astype(jnp.float32) - th, min=0)
-        max_sx = jnp.clip(orig_w.astype(jnp.float32) - tw, min=0)
-        r_y = jax.random.uniform(ry_rng, (b, n_tiles))
-        r_x = jax.random.uniform(rx_rng, (b, n_tiles))
-        start_y = jnp.floor(r_y * (max_sy[:, None] + 1)).astype(jnp.int32)
-        start_x = jnp.floor(r_x * (max_sx[:, None] + 1)).astype(jnp.int32)
+        start_y, start_x = sample_tile_indices(
+            orig_h, orig_w, n_tiles=n_tiles, tile_size=tile_size, rng=rng
+        )
     else:
         start_y, start_x = indices
 
