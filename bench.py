@@ -50,8 +50,21 @@ MATRIX = [
     ("5B-f32x256", "Td4-T/1x32x256", 256, 64, (8, 8), 32, 256),
     ("350M", "Ld4-Ld24/1x16x64", 256, 256, (16, 16), 16, 64),
     ("350M", "Ld4-Ld24/1x16x64", 512, 1024, (32, 32), 16, 16),
+    # Registry-coverage rows (VERDICT r4 #4): the f32 family at 512p
+    # (reference's 52.07 ms/img anchor — docs/index.html 512p table), an
+    # f32 latent-width control, and an f16 latent-width control.
+    ("5B-f32x256", "Td4-T/1x32x256", 512, 256, (16, 16), 32, 64),
+    ("5B-f32x128", "Td4-T/1x32x128", 256, 64, (8, 8), 32, 256),
+    ("350M-f16x32", "Ld4-Ld24/1x16x32", 256, 256, (16, 16), 16, 64),
 ]
 GATE_IMAGES = 8  # reconstructions compared per SSIM gate
+
+# End-to-end system configs (VERDICT r4 #1): host JPEG decode -> preprocess
+# -> AE on TPU -> output drain, wall-clock. int8 @256p for both families.
+E2E_CONFIGS = [
+    ("350M", "Ld4-Ld24/1x16x64", 256, 256, (16, 16), 16, 64),
+    ("5B", "Td4-T/1x16x64", 256, 256, (16, 16), 16, 64),
+]
 
 
 def make_batch(b: int, n: int, grid, pixels_per_token: int, seed: int = 0,
@@ -231,6 +244,200 @@ def bench_config(variant, res, tokens, grid, batch, iters, attn_impl="auto",
     return rows, n_params
 
 
+# ---------------------------------------------------------------------------
+# End-to-end system throughput (host pipeline included)
+# ---------------------------------------------------------------------------
+
+
+def gen_image_dir(path: str, n: int, size: int, seed: int = 0) -> str:
+    """Synthetic JPEGs with natural-ish entropy (smooth gradients + texture
+    + mild noise). Pure-noise JPEGs are pathological for the codec (huge
+    files, slow decode) and would overstate host cost; these land at
+    JPEG-q90 file sizes/decode times comparable to photographs."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, size), np.linspace(0, 1, size), indexing="ij"
+    )
+    for i in range(n):
+        a, b, fx, fy = rng.uniform(0.3, 1.0), rng.uniform(0.3, 1.0), \
+            rng.uniform(1, 5), rng.uniform(1, 5)
+        base = a * xx + b * yy + 0.3 * np.sin(
+            2 * np.pi * (fx * xx + fy * yy)
+        )
+        img = base[..., None] * rng.uniform(0.4, 1.0, 3)[None, None]
+        img = (img - img.min()) / (np.ptp(img) + 1e-9)
+        img = (
+            img * 255 + rng.normal(0, 5, img.shape)
+        ).clip(0, 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(path, f"im_{i:05d}.jpg"), quality=90
+        )
+    return path
+
+
+def host_pipeline_rate(img_dir, pp, batch, n_images, native=True):
+    """Host-only img/s: JPEG decode -> preprocess -> patchify -> collate
+    (prefetch thread active, no device work). ``native=False`` disables the
+    C++ batcher (numpy fallback) to isolate its contribution."""
+    from vitok_tpu import native as native_mod
+    from vitok_tpu.data import create_dataloader
+
+    saved = (native_mod._EXT, native_mod._TRIED)
+    if not native:
+        native_mod._EXT, native_mod._TRIED = None, True
+    try:
+        loader = create_dataloader(
+            img_dir, pp, batch_size=batch, num_samples=n_images,
+            shuffle_buffer=0, partial=True,
+        )
+        n = 0
+        t0 = time.perf_counter()
+        for b in loader:
+            n += b["patches"].shape[0]
+        dt = time.perf_counter() - t0
+    finally:
+        native_mod._EXT, native_mod._TRIED = saved
+    return n / max(dt, 1e-9), n
+
+
+def bench_e2e_config(model, variant, res, tokens, grid, patch, batch,
+                     img_dir, n_images, fetch_images):
+    """One end-to-end row: full system loop on int8 weights.
+
+    Two service shapes are measured, both with up to 2 batches in flight
+    (async dispatch — fences fetched one batch behind, the production
+    overlap; per-batch synchronous fencing would bill the ~29ms tunnel RTT
+    to every batch):
+
+    * ``tokenize``: encode-only, drain the LATENTS to host (the
+      production tokenizer-service path, `scripts/tokenize_data.py`) —
+      ~{tokens*channels} bytes/img of output traffic,
+    * ``recon``: encode+decode, drain full reconstructions and postprocess
+      to images — output traffic is the whole image, which on this
+      remote-tunnel runtime bills host<->device transfer at tunnel
+      bandwidth (an environment artifact called out in the row; on a
+      directly-attached TPU this segment rides PCIe).
+
+    Wall-clock segments: data (loader stalls), submit (h2d + dispatch),
+    drain (fence+fetch+postprocess).
+    """
+    import collections
+
+    from vitok_tpu.data import create_dataloader
+    from vitok_tpu.models import AEConfig, init_params
+    from vitok_tpu.models.ae import encode_apply, forward_apply
+    from vitok_tpu.ops.quant import quantize_block_params_device
+    from vitok_tpu.pp import postprocess
+
+    cfg = AEConfig.from_variant(variant, attn_impl="auto")
+    pp = (
+        f"to_tensor|normalize(minus_one_to_one)|patchify({patch}, {tokens})"
+    )
+    params = quantize_block_params_device(
+        init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    )
+
+    host_native, n_seen = host_pipeline_rate(img_dir, pp, batch, n_images)
+    host_numpy, _ = host_pipeline_rate(
+        img_dir, pp, batch, n_images, native=False
+    )
+
+    @jax.jit
+    def enc_step(p, d):
+        out = encode_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+        return out["z"]
+
+    @jax.jit
+    def fwd_step(p, d):
+        out = forward_apply(p, d, cfg, compute_dtype=jnp.bfloat16)
+        return out["patches"]
+
+    def run_loop(step_fn, drain_fn, n_img, depth=2):
+        loader = create_dataloader(
+            img_dir, pp, batch_size=batch, num_samples=n_img,
+            shuffle_buffer=0, partial=False,
+        )
+        it = iter(loader)
+        # warm the program on one batch (compile outside the timed window)
+        first = next(it)
+        jb = {k: jnp.asarray(v) for k, v in first.items()
+              if isinstance(v, np.ndarray)}
+        drain_fn(step_fn(params, jb), jb)
+
+        pending = collections.deque()
+        n = 0
+        t_data = t_submit = t_drain = 0.0
+        t0 = time.perf_counter()
+        while True:
+            ts = time.perf_counter()
+            try:
+                hb = next(it)
+            except StopIteration:
+                break
+            t_data += time.perf_counter() - ts
+            ts = time.perf_counter()
+            jb = {k: jnp.asarray(v) for k, v in hb.items()
+                  if isinstance(v, np.ndarray)}
+            pending.append((step_fn(params, jb), jb))
+            t_submit += time.perf_counter() - ts
+            n += hb["patches"].shape[0]
+            if len(pending) > depth:
+                ts = time.perf_counter()
+                drain_fn(*pending.popleft())
+                t_drain += time.perf_counter() - ts
+        ts = time.perf_counter()
+        while pending:
+            drain_fn(*pending.popleft())
+        t_drain += time.perf_counter() - ts
+        wall = time.perf_counter() - t0
+        return {
+            "img_per_s": round(n / max(wall, 1e-9), 2),
+            "n_images": n,
+            "wall_s": round(wall, 3),
+            "data_stall_s": round(t_data, 3),
+            "submit_s": round(t_submit, 3),
+            "drain_s": round(t_drain, 3),
+        }
+
+    def drain_latents(z, _jb):
+        np.asarray(z)  # host fetch of the latent block
+
+    def drain_recon(patches, jb):
+        out = dict(jb)
+        out["patches"] = patches
+        imgs = postprocess(out, output_format="0_255", do_unpack=True,
+                           patch=patch)
+        assert imgs[0].shape[0] == 3
+
+    tok = run_loop(enc_step, drain_latents, n_images)
+    rec = run_loop(fwd_step, drain_recon, fetch_images)
+
+    row = {
+        "model": model, "res": res, "dtype": "int8", "batch": batch,
+        "host_img_per_s_native": round(host_native, 1),
+        "host_img_per_s_numpy": round(host_numpy, 1),
+        "tokenize": tok,
+        "recon": rec,
+        "note": (
+            "recon drain ships full images over the remote TPU tunnel "
+            "(environment artifact; directly-attached TPUs drain over "
+            "PCIe). host rates measured on 1 CPU core."
+        ),
+    }
+    print(
+        f"# e2e {model}@{res}p int8 b={batch}: host {host_native:.0f} "
+        f"(numpy {host_numpy:.0f}) img/s; tokenize {tok['img_per_s']} "
+        f"img/s; recon {rec['img_per_s']} img/s", file=sys.stderr,
+    )
+    del params
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small-model smoke")
@@ -245,6 +452,10 @@ def main():
     ap.add_argument("--budget-s", type=float, default=2700.0,
                     help="soft wall-clock budget; remaining matrix rows are "
                     "skipped once exceeded (headline always runs)")
+    ap.add_argument("--no-e2e", action="store_true",
+                    help="skip the end-to-end system rows")
+    ap.add_argument("--e2e-images", type=int, default=512,
+                    help="JPEGs per end-to-end arm (recon arm uses half)")
     args = ap.parse_args()
 
     t_start = time.perf_counter()
@@ -264,6 +475,7 @@ def main():
         return
 
     matrix = []
+    e2e_rows = []
     headline = None
 
     def emit():
@@ -286,6 +498,10 @@ def main():
             # Full north-star matrix: {350M,5B} x {256p,512p} x {bf16,int8},
             # SSIM gate per int8 row (vs the same params in bf16).
             "matrix": matrix,
+            # End-to-end SYSTEM rows (host JPEG decode -> preprocess ->
+            # AE -> output drain; VERDICT r4 #1): host-only, tokenize
+            # (latent drain), and full-recon arms with wall decomposition.
+            "e2e": e2e_rows,
             # Full fenced encode+decode on one v5e chip. The published anchor
             # (3.59 ms/img) exceeds A100 physics for that workload —
             # derivation with arithmetic in BASELINE_NOTE.md.
@@ -310,6 +526,26 @@ def main():
         if headline is None:
             headline = next(r for r in rows if r["dtype"] == "int8")
         emit()
+
+    if not args.no_e2e:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            img_dir = gen_image_dir(
+                td, args.e2e_images, E2E_CONFIGS[0][2]
+            )
+            for model, variant, res, tokens, grid, patch, batch in E2E_CONFIGS:
+                if time.perf_counter() - t_start > args.budget_s + 600:
+                    print(f"# budget: skipping e2e {model}", file=sys.stderr)
+                    continue
+                e2e_rows.append(
+                    bench_e2e_config(
+                        model, variant, res, tokens, grid, patch, batch,
+                        img_dir, args.e2e_images,
+                        max(args.e2e_images // 2, 3 * batch),
+                    )
+                )
+                emit()
 
 
 if __name__ == "__main__":

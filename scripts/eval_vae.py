@@ -203,10 +203,23 @@ def main():
         )
 
     # --- loop ------------------------------------------------------------
+    # Wall-clock segments (reference eval_vae.py:126-193 reports the WHOLE
+    # loop, not just the device): data = blocking on the loader (decode +
+    # preprocess stalls not hidden by the prefetch thread), device = fenced
+    # encode/decode, post = host postprocess + metric updates.
     n_images = 0
     device_time = 0.0
+    data_time = 0.0
+    post_time = 0.0
     t_start = time.perf_counter()
-    for batch in loader:
+    loader_it = iter(loader)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            batch = next(loader_it)
+        except StopIteration:
+            break
+        data_time += time.perf_counter() - t0
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
         jax.block_until_ready(jbatch)
@@ -216,11 +229,13 @@ def main():
         float(fence)  # scalar fetch = completion fence
         device_time += time.perf_counter() - t0
 
+        t0 = time.perf_counter()
         refs = postprocess(jbatch, do_unpack=True,
                            patch=cfg.spatial_stride)
         recons = postprocess(dict(output), do_unpack=True,
                              patch=cfg.spatial_stride)
         calc.update(refs, recons)
+        post_time += time.perf_counter() - t0
         if args.save_visuals and n_images == 0:
             import os
 
@@ -245,9 +260,17 @@ def main():
         "model": args.model,
         "data": args.data,
         "pp": pp,
+        # Device-only rate (the reference's headline definition) ...
         "throughput_img_per_sec": n_images / max(device_time, 1e-9),
         "avg_img_latency_ms": device_time / max(n_images, 1) * 1e3,
+        # ... and the SYSTEM rate: the whole loop, host included
+        # (VERDICT r4 #1 — device img/s is meaningless if the host can't
+        # feed it), with the wall time decomposed into its segments.
+        "wall_img_per_sec": n_images / max(wall, 1e-9),
         "wall_time_s": wall,
+        "host_data_time_s": data_time,
+        "device_time_s": device_time,
+        "host_post_time_s": post_time,
         "device": str(jax.devices()[0]),
     })
     print(json.dumps(stats, indent=2))

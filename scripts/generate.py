@@ -25,6 +25,61 @@ import jax
 import jax.numpy as jnp
 
 
+def sample_latents_device(
+    dit,
+    scheduler,
+    classes,
+    n_tokens: int,
+    code_width: int,
+    cfg_scale: float = 4.0,
+    steps: int = 20,
+    seed: int = 0,
+):
+    """TPU-native sampling: the whole UniPC loop in ONE jitted program.
+
+    CFG batch doubling runs inside the loop body; no host<->device sync
+    between steps (the host loop pays a latents fetch + re-upload per step
+    — pure tunnel latency on a remote runtime). Numerics equal to
+    ``sample_latents`` to float tolerance (tests/test_dit_unipc.py).
+    """
+    from vitok_tpu.models.dit import apply as dit_apply
+    from vitok_tpu.unipc import sample_flow_unipc_device
+
+    b = len(classes)
+    side = int(math.isqrt(n_tokens))
+    rng = jax.random.key(seed)
+    z0 = jax.random.normal(rng, (b, n_tokens, code_width), jnp.float32)
+
+    yy, xx = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    row = jnp.tile(jnp.asarray(yy.ravel())[None], (2 * b, 1))
+    col = jnp.tile(jnp.asarray(xx.ravel())[None], (2 * b, 1))
+    ctx = jnp.concatenate([
+        jnp.asarray(classes, jnp.int32),
+        jnp.full((b,), dit.text_dim, jnp.int32),
+    ])
+    params, cfg = dit.params, dit.cfg
+
+    def v_fn(z, t):
+        z_in = jnp.concatenate([z, z])
+        t_in = jnp.full((2 * b,), 1.0, jnp.float32) * t
+        v = dit_apply(
+            params,
+            {"z": z_in, "t": t_in, "context": ctx,
+             "row_idx": row, "col_idx": col},
+            cfg,
+            compute_dtype=dit.compute_dtype,
+        ).astype(jnp.float32)
+        cond, uncond = v[:b], v[b:]
+        return uncond + cfg_scale * (cond - uncond)
+
+    run = jax.jit(
+        lambda z: sample_flow_unipc_device(
+            v_fn, z, scheduler=scheduler, steps=steps
+        )
+    )
+    return run(z0)
+
+
 def sample_latents(
     dit,
     scheduler,
@@ -80,6 +135,9 @@ def main():
     ap.add_argument("--shift", type=float, default=3.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="samples")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="run the whole UniPC loop in one jitted program "
+                    "(no host sync between steps; same numerics)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -112,7 +170,8 @@ def main():
 
     classes = [int(c) for c in args.classes.split(",")]
     sched = FlowUniPCMultistepScheduler(shift=args.shift)
-    z = sample_latents(
+    sampler = sample_latents_device if args.device_loop else sample_latents
+    z = sampler(
         dit, sched, classes, args.tokens, code_width,
         cfg_scale=args.cfg_scale, steps=args.steps, seed=args.seed,
     )

