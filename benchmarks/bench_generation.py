@@ -91,11 +91,14 @@ def main():
     ])
     params, cfg = dit.params, dit.cfg
 
-    def v_fn(z, t):
+    # params flow as a jit ARGUMENT (closing over them would bake 430M
+    # weights into the HLO as constants — the remote compile helper rejects
+    # the oversized program with HTTP 413).
+    def v_fn(p, z, t):
         z_in = jnp.concatenate([z, z])
         t_in = jnp.full((2 * b,), 1.0, jnp.float32) * t
         v = dit_apply(
-            params,
+            p,
             {"z": z_in, "t": t_in, "context": ctx,
              "row_idx": row, "col_idx": col},
             cfg, compute_dtype=jnp.bfloat16,
@@ -108,19 +111,21 @@ def main():
     )
 
     @jax.jit
-    def run_device(seed):
+    def run_device(p, seed):
         z0 = jax.random.normal(
             jax.random.key(seed), (b, n, cw), jnp.float32
         )
-        z = sample_flow_unipc_device(v_fn, z0, coefficients=coef)
+        z = sample_flow_unipc_device(
+            lambda z, t: v_fn(p, z, t), z0, coefficients=coef
+        )
         return jnp.mean(z), z
 
     # --- device loop -----------------------------------------------------
-    float(run_device(jnp.int32(0))[0])  # compile + warm
+    float(run_device(params, jnp.int32(0))[0])  # compile + warm
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        float(run_device(jnp.int32(i + 1))[0])
+        float(run_device(params, jnp.int32(i + 1))[0])
         times.append(time.perf_counter() - t0)
     dt_dev = float(np.mean(times))
     ms_img_dev = dt_dev / b * 1e3
@@ -170,7 +175,7 @@ def main():
             out = decode_apply(p, d, ae_cfg, compute_dtype=jnp.bfloat16)
             return jnp.mean(out["patches"].astype(jnp.float32))
 
-        _, z_dev = run_device(jnp.int32(0))
+        _, z_dev = run_device(params, jnp.int32(0))
         float(dec(ae_params, z_dev))  # compile
         t0 = time.perf_counter()
         float(dec(ae_params, z_dev))

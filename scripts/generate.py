@@ -59,11 +59,14 @@ def sample_latents_device(
     ])
     params, cfg = dit.params, dit.cfg
 
-    def v_fn(z, t):
+    # params are a jit ARGUMENT — closing over them would bake the weights
+    # into the HLO as constants (oversized programs; the remote compile
+    # helper rejects them).
+    def v_fn(p, z, t):
         z_in = jnp.concatenate([z, z])
         t_in = jnp.full((2 * b,), 1.0, jnp.float32) * t
         v = dit_apply(
-            params,
+            p,
             {"z": z_in, "t": t_in, "context": ctx,
              "row_idx": row, "col_idx": col},
             cfg,
@@ -73,11 +76,11 @@ def sample_latents_device(
         return uncond + cfg_scale * (cond - uncond)
 
     run = jax.jit(
-        lambda z: sample_flow_unipc_device(
-            v_fn, z, scheduler=scheduler, steps=steps
+        lambda p, z: sample_flow_unipc_device(
+            lambda zz, t: v_fn(p, zz, t), z, scheduler=scheduler, steps=steps
         )
     )
-    return run(z0)
+    return run(params, z0)
 
 
 def sample_latents(
