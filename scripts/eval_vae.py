@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--max-size", type=int, default=256)
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--decode-workers", type=int, default=0,
+                    help="threaded JPEG-decode/transform pool (0 = serial); "
+                    "lifts the one-core host decode ceiling on real hosts")
     ap.add_argument("--num-samples", type=int, default=None)
     ap.add_argument("--buckets", default=None,
                     help="comma list of token buckets (e.g. 64,256,1024): "
@@ -200,6 +203,7 @@ def main():
             batch_size=args.batch_size,
             seed=args.seed,
             num_samples=args.num_samples,
+            decode_workers=args.decode_workers,
         )
 
     # --- loop ------------------------------------------------------------

@@ -29,6 +29,7 @@ import json
 import os
 import time
 
+import ml_dtypes
 import numpy as np
 
 import jax
@@ -84,6 +85,7 @@ def encode(args) -> None:
         seed=args.seed,
         num_samples=args.num_samples,
         partial=True,  # a bulk tokenizer must not drop the ragged tail
+        decode_workers=args.decode_workers,
     )
     enc = jax.jit(lambda p, d: encode_apply(p, d, cfg))
 
@@ -91,8 +93,19 @@ def encode(args) -> None:
     n_images = 0
     t0 = time.perf_counter()
     for i, batch in enumerate(loader):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+        # Patches upload as bf16: the encoder computes in bf16 anyway, so
+        # this halves host->device bytes — the dominant cost on
+        # bandwidth-limited links (measured 2x tokenize throughput on the
+        # remote tunnel, BASELINE_NOTE.md round 5).
+        jbatch = {
+            k: jnp.asarray(
+                v.astype(ml_dtypes.bfloat16)
+                if k == "patches" and v.dtype == np.float32
+                else v
+            )
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
         out = enc(params, jbatch)
         shard = {"z": np.asarray(out["z"], np.float16)}
         for key in _META:
@@ -159,6 +172,8 @@ def main():
                     help="encode: image folder/tars/HF set; decode: latent dir")
     ap.add_argument("--output", required=True)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--decode-workers", type=int, default=0,
+                    help="threaded JPEG-decode pool (0 = serial)")
     ap.add_argument("--max-size", type=int, default=256)
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--num-samples", type=int, default=None)

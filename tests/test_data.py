@@ -219,3 +219,47 @@ class TestLoaderRobustness:
         batches = list(create_dataloader(str(d), pp, batch_size=4))
         assert len(batches) == 1
         assert batches[0]["patches"].shape[0] == 4
+
+
+class TestDecodeWorkers:
+    """Threaded decode pool == serial path exactly (order, skips, content)."""
+
+    def test_worker_pool_matches_serial(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(11):
+            Image.fromarray(
+                rng.integers(0, 255, (48 + 16 * (i % 3), 64, 3), np.uint8)
+            ).save(d / f"i{i:02d}.png")
+        (d / "broken.png").write_bytes(b"not an image")
+
+        kw = dict(batch_size=3, partial=True, shuffle_buffer=0)
+        serial = list(create_dataloader(str(d), PP, **kw))
+        pooled = list(create_dataloader(str(d), PP, decode_workers=3, **kw))
+        assert len(serial) == len(pooled)
+        for a, b in zip(serial, pooled):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_worker_pool_num_samples(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(9):
+            Image.fromarray(
+                rng.integers(0, 255, (48, 64, 3), np.uint8)
+            ).save(d / f"i{i}.png")
+        loader = create_dataloader(
+            str(d), PP, batch_size=2, num_samples=5, partial=True,
+            decode_workers=2, shuffle_buffer=0,
+        )
+        n = sum(b["patches"].shape[0] for b in loader)
+        assert n == 5

@@ -401,6 +401,7 @@ def create_dataloader(
     prefetch: int = 2,
     partial: bool = False,
     return_labels: bool = False,
+    decode_workers: int = 0,
 ):
     """Auto-detecting batch loader (reference create_dataloader semantics).
 
@@ -410,6 +411,13 @@ def create_dataloader(
     Yields collated numpy patch-dict batches (plus ``labels`` when
     ``return_labels``). ``partial=False`` drops ragged final batches
     (matching ``.batched(partial=False)``).
+
+    ``decode_workers > 0`` runs JPEG decode + per-sample transforms on an
+    ordered thread pool (PIL/numpy release the GIL, so N workers give real
+    decode parallelism on multi-core hosts — the host side of the e2e
+    pipeline, which otherwise caps throughput at one core's decode rate).
+    Order, skip semantics, and batch contents are identical to the serial
+    path.
     """
     # Native fast path: when the pp tail is the canonical
     # ...|to_tensor|normalize(m)|patchify(P, T) pattern, run the PIL-side
@@ -443,31 +451,68 @@ def create_dataloader(
             out["labels"] = np.asarray(labels, np.int64)
         return out
 
+    def _transform_one(img):
+        """Per-sample decode+transform; None = skip (ignore-and-continue).
+
+        Runs on the decode pool when ``decode_workers > 0`` — everything
+        here (PIL decode, resize, np conversion) drops the GIL.
+        """
+        try:
+            d = transform(img)
+            if tail is None:
+                # prefix ends PIL-side or CHW-array side; ensure array
+                d = np.asarray(d, np.float32) if not hasattr(d, "shape") \
+                    else d
+                if d.ndim == 3 and d.shape[-1] in (1, 3) and d.shape[0] not in (1, 3):
+                    d = np.ascontiguousarray(d.transpose(2, 0, 1))
+                if d.ndim != 3:  # malformed sample: skip (was caught by
+                    return None  # the old in-loop try/except)
+            return d
+        except Exception:
+            return None
+
+    def transformed_iter() -> Iterator[Tuple[object, int]]:
+        src = sample_iter()
+        if not decode_workers:
+            for img, label in src:
+                yield _transform_one(img), label
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(decode_workers) as ex:
+            window: "collections.deque" = collections.deque()
+            try:
+                for img, label in src:
+                    window.append((ex.submit(_transform_one, img), label))
+                    # Ordered sliding window: results come back in stream
+                    # order, lookahead bounded at 2 x workers samples.
+                    while len(window) > 2 * decode_workers:
+                        f, lab = window.popleft()
+                        yield f.result(), lab
+                while window:
+                    f, lab = window.popleft()
+                    yield f.result(), lab
+            finally:
+                if hasattr(src, "close"):
+                    src.close()
+
     def batch_gen():
         batch: List = []
         labels: List[int] = []
         n_seen = 0
-        for img, label in sample_iter():
+        for d, label in transformed_iter():
             if num_samples is not None and n_seen >= num_samples:
                 break
-            try:
-                d = transform(img)
-                if tail is None:
-                    # prefix ends PIL-side or CHW-array side; ensure array
-                    d = np.asarray(d, np.float32) if not hasattr(d, "shape") \
-                        else d
-                    if d.ndim == 3 and d.shape[-1] in (1, 3) and d.shape[0] not in (1, 3):
-                        d = np.ascontiguousarray(d.transpose(2, 0, 1))
-                    # ignore-and-continue for over-budget samples: the fused
-                    # batcher would otherwise raise at collate time and kill
-                    # the loader (the python path fails per-sample).
-                    _, hh, ww = d.shape
-                    if (
-                        -(-hh // f_patch) * -(-ww // f_patch) > f_tokens
-                    ):
-                        continue
-            except Exception:
+            if d is None:
                 continue
+            if tail is None:
+                # ignore-and-continue for over-budget samples: the fused
+                # batcher would otherwise raise at collate time and kill
+                # the loader (the python path fails per-sample).
+                _, hh, ww = d.shape
+                if -(-hh // f_patch) * -(-ww // f_patch) > f_tokens:
+                    continue
             batch.append(d)
             labels.append(label)
             n_seen += 1
