@@ -39,6 +39,7 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 
 V5E_BF16_PEAK = 197e12
+V5E_INT8_PEAK = 394e12
 
 
 def main():
@@ -52,6 +53,9 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=4.0)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--host-loop-iters", type=int, default=2)
+    ap.add_argument("--quant", action="store_true",
+                    help="int8-quantize the DiT block linears "
+                    "(DiT.quantize(); MFU then reads against the int8 peak)")
     ap.add_argument("--decode", action="store_true",
                     help="also time the ViTok decode of the latents")
     ap.add_argument("--ae-variant", default="Ld4-Ld24/1x16x64",
@@ -73,6 +77,8 @@ def main():
         param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
     )
     n_params = dit.num_params()
+    if args.quant:
+        dit.quantize()
     # FLOPs/image for one sampling run: steps DiT forwards at 2B rows (CFG
     # doubling) -> per image = steps * 2 * (2 * P * N).
     flops_per_img = steps * 2 * 2.0 * n_params * n
@@ -129,7 +135,8 @@ def main():
         times.append(time.perf_counter() - t0)
     dt_dev = float(np.mean(times))
     ms_img_dev = dt_dev / b * 1e3
-    mfu = flops_per_img * b / dt_dev / V5E_BF16_PEAK
+    peak = V5E_INT8_PEAK if args.quant else V5E_BF16_PEAK
+    mfu = flops_per_img * b / dt_dev / peak
     print(f"device-loop: {dt_dev*1e3:.1f} ms/batch ({ms_img_dev:.2f} ms/img, "
           f"{b/dt_dev:.2f} img/s, MFU {mfu:.3f}) over {args.iters} iters "
           f"(min {min(times)*1e3:.1f} ms)")

@@ -215,9 +215,12 @@ def main():
     device_time = 0.0
     data_time = 0.0
     post_time = 0.0
+    first_batch_wall = None
+    n_batches = 0
     t_start = time.perf_counter()
     loader_it = iter(loader)
     while True:
+        t_batch = time.perf_counter()
         t0 = time.perf_counter()
         try:
             batch = next(loader_it)
@@ -257,6 +260,12 @@ def main():
                     os.path.join(args.save_visuals, f"pair_{i:03d}.png")
                 )
         n_images += len(refs)
+        # First batch absorbs every XLA compile (AE programs + metric
+        # feature extractors) — record it separately so the steady-state
+        # system rate is readable from one run.
+        if first_batch_wall is None:
+            first_batch_wall = time.perf_counter() - t_batch
+        n_batches += 1
     wall = time.perf_counter() - t_start
 
     stats = calc.gather()
@@ -275,6 +284,14 @@ def main():
         "host_data_time_s": data_time,
         "device_time_s": device_time,
         "host_post_time_s": post_time,
+        # compile-free steady state: batches after the first (which
+        # absorbs the AE + feature-extractor XLA compiles)
+        "first_batch_wall_s": first_batch_wall,
+        "steady_img_per_sec": (
+            (n_images - args.batch_size) / max(wall - first_batch_wall, 1e-9)
+            if first_batch_wall is not None and n_batches > 1
+            else None
+        ),
         "device": str(jax.devices()[0]),
     })
     print(json.dumps(stats, indent=2))

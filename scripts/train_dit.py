@@ -151,6 +151,7 @@ def main():
             {"z": x_sigma, "t": sigma * 1000.0, "context": ctx},
             cfg,
             compute_dtype=jnp.bfloat16,
+            deterministic=False,
         )
         target = eps - z
         return jnp.mean((v_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)

@@ -272,3 +272,134 @@ class TestDeviceSampler:
             )
         )
         assert np.abs(got - x0).max() < 5e-2
+
+
+class TestDiTQuantize:
+    """DiT.quantize(): int8 block linears, AE-recipe parity (round 5)."""
+
+    def _sensitive_dit(self, **kw):
+        """DiT with O(1) adaLN gates: the zero-init mod kernels gate every
+        block's contribution to ~0, which would make any int8-vs-bf16
+        comparison vacuous (same trap as the AE LayerScale gates, VERDICT
+        r3 #1)."""
+        dit = DiT(width=128, depth=2, heads=2, code_width=8, text_dim=10,
+                  **kw)
+        rng = np.random.default_rng(0)
+        blocks = dit.params["blocks"]
+        blocks["mod"]["kernel"] = jnp.asarray(
+            rng.normal(0, 0.15, blocks["mod"]["kernel"].shape), jnp.float32
+        )
+        blocks["mod"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.3, blocks["mod"]["bias"].shape), jnp.float32
+        )
+        return dit
+
+    def _input(self, b=2, n=16, c=8):
+        rng = np.random.default_rng(1)
+        return {
+            "z": rng.standard_normal((b, n, c)).astype(np.float32),
+            "t": np.array([100.0, 500.0], np.float32),
+            "context": np.array([1, 2], np.int32),
+        }
+
+    def test_quantized_structure(self):
+        dit = self._sensitive_dit()
+        dit.quantize()
+        blk = dit.params["blocks"]
+        for path in (("attn", "qkv"), ("attn", "out"), ("ffn", "fc1"),
+                     ("ffn", "fc2")):
+            sub = blk
+            for k in path:
+                sub = sub[k]
+            assert "kernel_int8" in sub and "scale" in sub, path
+        # adaLN mod, t_embed, final head stay full precision
+        assert "kernel" in blk["mod"]
+        assert "kernel" in dit.params["t_embed"]["fc1"]
+        assert "kernel" in dit.params["final"]["proj"]
+
+    def test_quantize_idempotent(self):
+        dit = self._sensitive_dit()
+        dit.quantize()
+        q1 = dit.params["blocks"]["attn"]["qkv"]["kernel_int8"]
+        dit.quantize()
+        assert dit.params["blocks"]["attn"]["qkv"]["kernel_int8"] is q1
+
+    def test_int8_close_to_bf16(self):
+        dit = self._sensitive_dit()
+        x = self._input()
+        ref = np.asarray(dit(x), np.float32)
+        dit.quantize()
+        got = np.asarray(dit(x), np.float32)
+        assert ref.shape == got.shape
+        denom = np.abs(ref).mean() + 1e-6
+        rel = np.abs(got - ref).mean() / denom
+        assert rel < 0.05, rel
+        # non-vacuity: int8 must actually change the numbers
+        assert np.abs(got - ref).max() > 0
+
+    def test_quantized_sampling_finite_and_close(self):
+        from vitok_tpu.unipc import sample_flow_unipc_device
+
+        dit = self._sensitive_dit()
+        b, n, cw = 2, 16, 8
+
+        def v_fn_of(d):
+            def v_fn(z, t):
+                return d({
+                    "z": z, "t": jnp.full((b,), 1.0) * t,
+                    "context": jnp.asarray([1, 2], jnp.int32),
+                }).astype(jnp.float32)
+            return v_fn
+
+        z0 = jnp.asarray(
+            np.random.default_rng(3).standard_normal((b, n, cw)), jnp.float32
+        )
+        sched = FlowUniPCMultistepScheduler(shift=3.0)
+        ref = np.asarray(sample_flow_unipc_device(
+            v_fn_of(dit), z0, scheduler=sched, steps=5))
+        dit.quantize()
+        got = np.asarray(sample_flow_unipc_device(
+            v_fn_of(dit), z0, scheduler=sched, steps=5))
+        assert np.all(np.isfinite(got))
+        rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6)
+        assert rel < 0.1, rel
+
+
+class TestDiTFusedAttentionWiring:
+    """The megakernel consumes DiT's flat QKV exactly as _dit_block wires it
+    (interpret mode — validates argument order/conventions off-TPU)."""
+
+    def test_fused_matches_xla_composition(self):
+        from vitok_tpu.ops.attention import dot_product_attention
+        from vitok_tpu.ops.fused_attention import fused_qkv_attention
+        from vitok_tpu.ops.norms import rms_norm
+        from vitok_tpu.ops.rope import apply_rotary_emb, compute_2d_freqs_cis
+
+        b, n, heads, d = 2, 16, 2, 64
+        c = heads * d
+        rng = np.random.default_rng(5)
+        qkv_flat = jnp.asarray(
+            rng.standard_normal((b, n, 3 * c)).astype(np.float32)
+        )
+        nq = jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32)
+        nk = jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32)
+        yy, xx = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+        row = jnp.tile(jnp.asarray(yy.ravel(), jnp.float32)[None], (b, 1))
+        col = jnp.tile(jnp.asarray(xx.ravel(), jnp.float32)[None], (b, 1))
+        cos, sin = compute_2d_freqs_cis(row, col, d, 10000.0)
+
+        # the _dit_block xla composition
+        qkv = qkv_flat.reshape(b, n, 3, heads, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rms_norm(q, nq)
+        k = rms_norm(k, nk)
+        q, k = apply_rotary_emb(q, k, cos, sin, convention="half")
+        want = dot_product_attention(q, k, v, impl="xla").reshape(b, n, c)
+
+        got = fused_qkv_attention(
+            qkv_flat, nq, nk, cos, sin, jnp.ones((b, n), jnp.int32),
+            num_heads=heads, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+        )

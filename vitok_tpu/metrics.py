@@ -216,12 +216,28 @@ class MetricCalculator:
         assert len(refs) == len(recons)
         self._n_images += len(refs)
 
-        if "ssim" in self.metrics:
+        if "ssim" in self.metrics or "psnr" in self.metrics:
+            # Batch per shape group: SSIM/PSNR are per-image independent, so
+            # stacking same-shape pairs gives identical numbers in ONE
+            # device dispatch per shape instead of one per image — on a
+            # remote runtime the per-image path bills ~2 RTT x images
+            # (measured 90s of a 118s eval loop, round 5).
+            groups: dict = {}
             for r, x in zip(refs, recons):
-                self._ssim.update(compute_ssim(jnp.asarray(r), jnp.asarray(x), self.data_range))
-        if "psnr" in self.metrics:
-            for r, x in zip(refs, recons):
-                self._psnr.update(compute_psnr(jnp.asarray(r), jnp.asarray(x), self.data_range))
+                groups.setdefault(tuple(np.shape(r)), []).append((r, x))
+            for pairs in groups.values():
+                rs = jnp.stack([jnp.asarray(r) for r, _ in pairs])
+                xs = jnp.stack([jnp.asarray(x) for _, x in pairs])
+                if "ssim" in self.metrics:
+                    self._ssim.update(np.asarray(
+                        _ssim_fn(rs, xs, data_range=self.data_range,
+                                 reduce=False)
+                    ))
+                if "psnr" in self.metrics:
+                    self._psnr.update(np.asarray(
+                        _psnr_fn(rs, xs, data_range=self.data_range,
+                                 reduce=False)
+                    ))
 
         if "fid" in self.metrics:
             f_ref = self._extract(self._fid_fn, refs)

@@ -191,8 +191,20 @@ def init_params(cfg: DiTConfig, rng: Array, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _dit_block(x, blk, cond, rope, *, num_heads, attn_impl):
-    """Parallel DiT block with adaLN-zero conditioning."""
+def _dit_block(x, blk, cond, rope, *, num_heads, attn_impl,
+               deterministic=True):
+    """Parallel DiT block with adaLN-zero conditioning.
+
+    When the block carries int8 weights (``DiT.quantize()``), the same
+    int8 recipe as the AE blocks applies (``models/ae.py::_block_body``):
+    the modulated input quantizes ONCE and feeds both column matmuls
+    (qkv + fc1, optionally the fused fc1+SwiGLU+requantize kernel), the
+    small-N attention megakernel consumes the flat QKV GEMM output
+    directly (QK-RMSNorm + rotate-half RoPE + softmax + PV, no 5-D
+    relayout copies), and fc2 takes the one-pass silu+quantize output.
+    adaLN modulation (``mod``) stays bf16 — it is a per-image [B, 3C]
+    GEMM, ~1/N of a token matmul.
+    """
     b, n, c = x.shape
     head_dim = c // num_heads
     mod = _linear(cond, blk["mod"]).reshape(b, 1, 3, c)
@@ -201,19 +213,91 @@ def _dit_block(x, blk, cond, rope, *, num_heads, attn_impl):
     h = rms_norm(x, blk["norm1"]["scale"])
     h = h * (1.0 + scale) + shift
 
-    qkv = _linear(h, blk["attn"]["qkv"]).reshape(b, n, 3, num_heads, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
-    k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
-    # Rotate-half convention (no lane shuffles). DiT checkpoints are
-    # produced by this trainer, so no layout conversion is needed.
-    q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
-    attn = dot_product_attention(q, k, v, impl=attn_impl).reshape(b, n, c)
+    qkv_p, fc1_p = blk["attn"]["qkv"], blk["ffn"]["fc1"]
+    shared_int8 = "kernel_int8" in qkv_p and "kernel_int8" in fc1_p
+    if shared_int8:
+        from vitok_tpu.ops.quant import (
+            can_fuse_ffn,
+            fused_ffn_int8,
+            int8_matmul_prequant,
+            quantize_activation,
+        )
+
+        # The adaLN shift/scale sit between the norm and the matmuls, so
+        # the fused rmsnorm+quant kernel doesn't apply — quantize the
+        # modulated activations once and share across qkv/fc1.
+        hq, h_scale = quantize_activation(h)
+        qkv_flat = int8_matmul_prequant(hq, h_scale, qkv_p, h.dtype)
+        f2 = fc1_p["kernel_int8"].shape[-1]
+        if can_fuse_ffn(b * n, c, f2):
+            hid = fused_ffn_int8(
+                hq.reshape(b * n, c), h_scale.reshape(b * n, 1), fc1_p
+            )
+        else:
+            hid = int8_matmul_prequant(hq, h_scale, fc1_p, h.dtype)
+    else:
+        qkv_flat = _linear(h, qkv_p)
+        hid = _linear(h, fc1_p)
+
+    from vitok_tpu.ops.fused_attention import can_fuse, fused_qkv_attention
+
+    # Inference-only routing for "auto" (AE precedent: the megakernel's
+    # recompute backward measured slower than the XLA path in training);
+    # attn_impl="fused" forces it either way.
+    if (
+        attn_impl in ("auto", "fused")
+        and (deterministic or attn_impl == "fused")
+        and can_fuse(n, c, num_heads)
+    ):
+        attn = fused_qkv_attention(
+            qkv_flat,
+            blk["attn"]["norm_q"]["scale"],
+            blk["attn"]["norm_k"]["scale"],
+            rope[0], rope[1],
+            jnp.ones((b, n), jnp.int32),
+            num_heads=num_heads,
+        )
+    else:
+        qkv = qkv_flat.reshape(b, n, 3, num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rms_norm(q, blk["attn"]["norm_q"]["scale"])
+        k = rms_norm(k, blk["attn"]["norm_k"]["scale"])
+        # Rotate-half convention (no lane shuffles). DiT checkpoints are
+        # produced by this trainer, so no layout conversion is needed.
+        q, k = apply_rotary_emb(q, k, rope[0], rope[1], convention="half")
+        # Keep "auto" routing (flash for large N); "fused" falls back to
+        # auto when the shape can't fuse.
+        attn = dot_product_attention(
+            q, k, v,
+            impl="auto" if attn_impl == "fused" else attn_impl,
+        ).reshape(b, n, c)
     attn = _linear(attn, blk["attn"]["out"])
 
-    hid = _linear(h, blk["ffn"]["fc1"])
-    mv, mg = jnp.split(hid, 2, axis=-1)
-    mlp = _linear(jax.nn.silu(mg) * mv, blk["ffn"]["fc2"])
+    fc2_p = blk["ffn"]["fc2"]
+    if isinstance(hid, tuple) or "kernel_int8" in fc2_p:
+        from vitok_tpu.ops.quant import (
+            can_fuse_silu_quant,
+            fused_silu_quant,
+            int8_matmul_prequant,
+            quantize_activation,
+        )
+
+        if isinstance(hid, tuple):
+            # fused_ffn_int8 already returns the gated (int8, scale) pair.
+            tq, t_scale = hid
+            tq = tq.reshape(b, n, -1)
+            t_scale = t_scale.reshape(b, n, 1)
+        else:
+            mv, mg = jnp.split(hid, 2, axis=-1)
+            t = jax.nn.silu(mg) * mv
+            if can_fuse_silu_quant(n):
+                tq, t_scale = fused_silu_quant(hid)
+            else:
+                tq, t_scale = quantize_activation(t)
+        mlp = int8_matmul_prequant(tq, t_scale, fc2_p, x.dtype)
+    else:
+        mv, mg = jnp.split(hid, 2, axis=-1)
+        mlp = _linear(jax.nn.silu(mg) * mv, fc2_p)
 
     combined = attn + mlp
     if "layer_scale" in blk:
@@ -226,6 +310,7 @@ def apply(
     dit_input: Dict[str, Array],
     cfg: DiTConfig,
     compute_dtype=jnp.bfloat16,
+    deterministic: bool = True,
 ) -> Array:
     """Forward: ``{z, t, context, row_idx?, col_idx?}`` -> prediction [B,N,c]."""
     z = dit_input["z"].astype(compute_dtype)
@@ -280,6 +365,7 @@ def apply(
         out = _dit_block(
             carry, blk, cond, rope,
             num_heads=cfg.heads, attn_impl=cfg.attn_impl,
+            deterministic=deterministic,
         )
         return out, None
 
@@ -369,6 +455,22 @@ class DiT:
         )
 
     forward = __call__
+
+    def quantize(self) -> "DiT":
+        """int8-quantize the block linears (idempotent, AE.quantize analog).
+
+        qkv/out/fc1/fc2 become int8-weight x dynamic-int8-activation (fc1/
+        fc2 padded for the fused FFN kernel); adaLN ``mod``, norms, embeds
+        and the final head stay full precision. Sampling then runs the AE's
+        int8 recipe inside ``_dit_block`` (shared activation quantize,
+        fused FFN, megakernel attention).
+        """
+        from vitok_tpu.ops.quant import quantize_block_params_device
+
+        self.params = quantize_block_params_device(
+            self.params, block_keys=("blocks",)
+        )
+        return self
 
     def eval(self) -> "DiT":
         return self

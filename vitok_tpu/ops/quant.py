@@ -16,7 +16,7 @@ Quality is gated the same way the reference gates FP8/INT8
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -450,13 +450,19 @@ def can_fuse_silu_quant(n: int) -> bool:
     return backend in ("tpu", "axon") and n % 8 == 0
 
 
-def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Params:
-    """Quantize every block linear in an AE params pytree (idempotent).
+def quantize_block_params(
+    params: Params,
+    offload: Optional[bool] = None,
+    block_keys: Tuple[str, ...] = ("encoder_blocks", "decoder_blocks"),
+) -> Params:
+    """Quantize every block linear in a params pytree (idempotent).
 
     Returns a new pytree where block ``kernel`` leaves are replaced by
     ``kernel_int8`` + ``scale``; non-block params are untouched. ``offload``
     defaults to True for models over ~1B params (host-side quantization,
     frees each bf16 kernel as it converts — fits 5B on a 16GB chip).
+    ``block_keys`` selects the stacked block subtrees (AE default; DiT
+    passes ``("blocks",)`` — see ``models/dit.py::DiT.quantize``).
     """
     if offload is None:
         total = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -486,14 +492,17 @@ def quantize_block_params(params: Params, offload: Optional[bool] = None) -> Par
 
     result: Params = {}
     for key, value in params.items():
-        if key in ("encoder_blocks", "decoder_blocks"):
+        if key in block_keys:
             result[key] = q_stack(value)
         else:
             result[key] = value
     return result
 
 
-def quantize_block_params_device(params: Params) -> Params:
+def quantize_block_params_device(
+    params: Params,
+    block_keys: Tuple[str, ...] = ("encoder_blocks", "decoder_blocks"),
+) -> Params:
     """Device-native quantization of an AE params pytree, leaf by leaf.
 
     For multi-GB models on the remote-tunnel runtime, ``offload=True``
@@ -544,7 +553,7 @@ def quantize_block_params_device(params: Params) -> Params:
 
     result: Params = {}
     for key, value in params.items():
-        if key in ("encoder_blocks", "decoder_blocks"):
+        if key in block_keys:
             result[key] = q_stack(value)
         else:
             result[key] = value
