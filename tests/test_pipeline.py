@@ -396,6 +396,34 @@ class TestComposedPipelineTraining:
             )
 
 
+class TestInt8Pipeline:
+    """int8 block weights stage through the GPipe schedule unchanged: the
+    5B pod-serving combination (pipeline decode x quantized params)."""
+
+    def test_int8_decode_matches_single_device(self):
+        from vitok_tpu.ops.quant import (
+            gate_sensitive_params,
+            quantize_block_params,
+        )
+
+        cfg = AEConfig(**{**TINY, "decoder_depth": 8})
+        params = gate_sensitive_params(
+            init_params(cfg, jax.random.key(0)), seed=1
+        )
+        qparams = quantize_block_params(params)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+        enc = encode_apply(qparams, batch, cfg, compute_dtype=jnp.float32)
+        ref = decode_apply(qparams, enc, cfg, compute_dtype=jnp.float32)
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        out = pipeline_parallel_decode(
+            qparams, enc, cfg, mesh,
+            num_microbatches=4, compute_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["patches"]), np.asarray(ref["patches"]), atol=2e-4
+        )
+
+
 class TestPipelineErrors:
     def test_indivisible_microbatches_raises(self):
         cfg, params, enc = _setup(depth=8, b=8)
