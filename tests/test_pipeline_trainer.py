@@ -215,22 +215,31 @@ def test_cli_end_to_end_and_resume(image_folder, tmp_path):
     assert "step 6:" in r2.stdout
 
 
-def test_cli_rejects_mixed_mesh(image_folder, tmp_path):
+def test_cli_rejects_non_data_mesh_with_pipe(image_folder, tmp_path):
+    """pipe composes with data only (round 5); fsdp/model extras still
+    error loudly."""
     r = _run_cli(
         image_folder, str(tmp_path / "bad"), "--steps", "2",
-        "--mesh", "data=2,pipe=4", "--variant", "w64_d2_h2-w64_d4_h2/1x16x8",
+        "--mesh", "fsdp=2,pipe=4", "--variant", "w64_d2_h2-w64_d4_h2/1x16x8",
     )
     assert r.returncode != 0
-    assert "pipe-only mesh" in (r.stdout + r.stderr)
+    assert "composes with data=D only" in (r.stdout + r.stderr)
 
 
-def test_cli_rejects_grad_accum(image_folder, tmp_path):
+def test_cli_grad_accum_with_pipe(image_folder, tmp_path):
+    """--grad-accum now scans chunks through the GPipe schedule (round 5:
+    the r4 exclusion is lifted; equality vs single-device is covered in
+    test_pipeline.py::TestComposedPipelineTraining)."""
+    out_dir = str(tmp_path / "ga_run")
+    # pipe=8 (all devices); bs 16 / accum 2 -> 8-image chunks, m=8, mb=1.
     r = _run_cli(
-        image_folder, str(tmp_path / "bad2"), "--steps", "2",
-        "--grad-accum", "2",
+        image_folder, out_dir, "--steps", "2", "--bs", "16",
+        "--grad-accum", "2", "--log-freq", "2",
     )
-    assert r.returncode != 0
-    assert "not supported with pipe" in (r.stdout + r.stderr)
+    assert r.returncode == 0, r.stdout + r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("step 2:")][0]
+    stats = json.loads(line.split("step 2: ", 1)[1])
+    assert np.isfinite(stats["loss/total"])
 
 
 def test_cli_data_pipe_full_loss(image_folder, tmp_path):
