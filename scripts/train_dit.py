@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--shift", type=float, default=1.0,
                     help="sigma-shift of the training noise distribution")
     ap.add_argument("--bs", type=int, default=64)
+    ap.add_argument("--checkpoint", type=int, default=0,
+                    help="1 = remat the scanned DiT block body (DiT-L bs32 "
+                    "needs it on a 16GB chip)")
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--schedule", default="cosine")
@@ -119,6 +122,7 @@ def main():
         **dit_variant(args.dit),
         code_width=code_width or 32,
         text_dim=args.num_classes,
+        checkpoint=args.checkpoint,
     )
     # Real dp/fsdp/tp sharding (same path-based rules as the AE: qkv/fc1
     # column-parallel, out/fc2 row-parallel, misc kernels fsdp, rest
@@ -178,6 +182,12 @@ def main():
                 for f in os.listdir(args.data)
                 if f.endswith(".npy")
             )[rank::world]
+            if not files:
+                raise SystemExit(
+                    f"--data {args.data} has no .npy latent files; pass "
+                    "--ae <name-or-variant> to train from an image folder "
+                    "(the frozen encoder produces latents on the fly)"
+                )
             while True:
                 order = list(files)
                 np.random.default_rng(args.seed).shuffle(order)
@@ -242,7 +252,7 @@ def main():
                 "steps_per_s": round(args.log_freq / dt, 3),
             }))
             t_log = time.perf_counter()
-        if step % args.save_freq == 0 or guard.should_stop:
+        if (args.save_freq and step % args.save_freq == 0) or guard.should_stop:
             save_checkpoint(
                 {"params": params, "ema": ema, "opt": opt_state,
                  "step": jnp.int32(step)},
