@@ -142,20 +142,23 @@ def main():
           f"(min {min(times)*1e3:.1f} ms)")
 
     # --- host loop (the shipped generate.py driver) ----------------------
-    sched = FlowUniPCMultistepScheduler(shift=3.0)
-    sample_latents(dit, sched, classes, n, cw,
-                   cfg_scale=args.cfg_scale, steps=steps, seed=0)  # warm
-    times_h = []
-    for i in range(args.host_loop_iters):
-        t0 = time.perf_counter()
-        z = sample_latents(dit, sched, classes, n, cw,
-                           cfg_scale=args.cfg_scale, steps=steps, seed=i + 1)
-        np.asarray(z)
-        times_h.append(time.perf_counter() - t0)
-    dt_host = float(np.mean(times_h))
-    print(f"host-loop:   {dt_host*1e3:.1f} ms/batch "
-          f"({dt_host/b*1e3:.2f} ms/img, {b/dt_host:.2f} img/s) — "
-          f"device-loop speedup {dt_host/dt_dev:.2f}x")
+    if args.host_loop_iters >= 1:
+        sched = FlowUniPCMultistepScheduler(shift=3.0)
+        sample_latents(dit, sched, classes, n, cw,
+                       cfg_scale=args.cfg_scale, steps=steps, seed=0)  # warm
+        times_h = []
+        for i in range(args.host_loop_iters):
+            t0 = time.perf_counter()
+            z = sample_latents(
+                dit, sched, classes, n, cw,
+                cfg_scale=args.cfg_scale, steps=steps, seed=i + 1,
+            )
+            np.asarray(z)
+            times_h.append(time.perf_counter() - t0)
+        dt_host = float(np.mean(times_h))
+        print(f"host-loop:   {dt_host*1e3:.1f} ms/batch "
+              f"({dt_host/b*1e3:.2f} ms/img, {b/dt_host:.2f} img/s) — "
+              f"device-loop speedup {dt_host/dt_dev:.2f}x")
 
     # --- optional: decode the latents with the 350M ViTok decoder --------
     if args.decode:
