@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--warmup-frac", type=float, default=0.05)
     ap.add_argument("--wd", type=float, default=0.0)
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--optimizer", default="adamw", choices=["adamw", "muon"])
     ap.add_argument("--ema-decay", type=float, default=0.9999)
     ap.add_argument("--mesh", default=None)
     ap.add_argument("--max-tokens", type=int, default=256)
@@ -130,7 +131,10 @@ def main():
     params = shard_params(dit_init(cfg, jax.random.key(args.seed)), mesh)
 
     schedule = create_schedule(args.schedule, args.lr, args.steps, args.warmup_frac)
-    tx = create_optimizer(schedule, weight_decay=args.wd, grad_clip=args.grad_clip)
+    tx = create_optimizer(
+        schedule, weight_decay=args.wd, grad_clip=args.grad_clip,
+        optimizer=args.optimizer,
+    )
     opt_state = place_on_mesh(tx.init(params), mesh)
     from vitok_tpu.parallel.sharding import batch_specs
     from jax.sharding import NamedSharding

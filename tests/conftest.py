@@ -79,6 +79,7 @@ _HEAVY_MODULES = {
     "test_pipeline_trainer",
     "test_pretrained_layout",
     "test_tokenize_cli",
+    "test_train_dit",
     "test_train_highres",
 }
 
