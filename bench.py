@@ -310,10 +310,10 @@ def bench_e2e_config(model, variant, res, tokens, grid, patch, batch,
                      img_dir, n_images, fetch_images):
     """One end-to-end row: full system loop on int8 weights.
 
-    Two service shapes are measured, both with up to 2 batches in flight
-    (async dispatch — fences fetched one batch behind, the production
-    overlap; per-batch synchronous fencing would bill the ~29ms tunnel RTT
-    to every batch):
+    Two service shapes are measured, both with up to ``depth + 1 = 3``
+    batches outstanding (async dispatch — the oldest drains once more than
+    ``depth`` are in flight, the production overlap; per-batch synchronous
+    fencing would bill the ~29ms tunnel RTT to every batch):
 
     * ``tokenize``: encode-only, drain the LATENTS to host (the
       production tokenizer-service path, `scripts/tokenize_data.py`) —

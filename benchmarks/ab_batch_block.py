@@ -289,8 +289,8 @@ def main():
     arm_defs = [
         ("B",  1, None, f"shipped bb=1 cg=auto({auto_cg}), "
                         f"{b * (c // max(auto_cg, 1))} cells"),
-        ("G", 1, max(cg for cg in range(d, c, d)
-                     if c % cg == 0 and cg % 128 == 0),
+        ("G", 1, max((cg for cg in range(d, c, d)
+                      if c % cg == 0 and cg % 128 == 0), default=None),
          "pinned large-group baseline"),
         ("S2", 2, 768,  "bb=2 cg=768: same 128 cells, control"),
         ("D2", 2, 1536, "bb=2 cg=1536: 64 cells, 2x bytes/cell"),
@@ -306,6 +306,9 @@ def main():
     arms = []
     ref_out = None
     for name, bb, cg, desc in arm_defs:
+        if name != "B" and cg is None:
+            print(f"arm {name} skipped: no lane-aligned group for c={c} d={d}")
+            continue
         try:
             call, run = make_run(bb, cg, pack=name.startswith("P"))
             out = call(qkv, cos)

@@ -99,7 +99,10 @@ def main():
 
     # params flow as a jit ARGUMENT (closing over them would bake 430M
     # weights into the HLO as constants — the remote compile helper rejects
-    # the oversized program with HTTP 413).
+    # the oversized program with HTTP 413). Mirrors
+    # generate.sample_latents_device's CFG wrapper but is kept local: the
+    # benchmark must reuse ONE jitted program across iterations (the CLI
+    # path re-jits per call) and pins bf16 compute for the MFU accounting.
     def v_fn(p, z, t):
         z_in = jnp.concatenate([z, z])
         t_in = jnp.full((2 * b,), 1.0, jnp.float32) * t

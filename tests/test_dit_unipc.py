@@ -257,6 +257,32 @@ class TestDeviceSampler:
         )
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
+    def test_dynamic_shifting_mu_forwarded(self):
+        """mu/shift must reach the coefficient probe (advisor r5: a fresh
+        scheduler was probed without them, silently diverging from the
+        host loop for dynamic-shifting schedules)."""
+        from vitok_tpu.unipc import sample_flow_unipc_device
+
+        rng = np.random.default_rng(7)
+        z0 = rng.standard_normal((1, 8, 4)).astype(np.float32)
+
+        def v_fn(z, t):
+            return jnp.cos(z) * 0.3
+
+        sched = FlowUniPCMultistepScheduler(use_dynamic_shifting=True)
+        sched.set_timesteps(6, mu=2.0)
+        z = np.asarray(z0, np.float32)
+        for t in sched.timesteps:
+            v = np.asarray(v_fn(jnp.asarray(z), float(t)), np.float32)
+            z = np.asarray(sched.step(v, t, z).prev_sample, np.float32)
+
+        got = np.asarray(sample_flow_unipc_device(
+            v_fn, jnp.asarray(z0),
+            scheduler=FlowUniPCMultistepScheduler(use_dynamic_shifting=True),
+            steps=6, mu=2.0,
+        ))
+        np.testing.assert_allclose(got, z, atol=2e-5, rtol=1e-5)
+
     def test_exact_linear_flow_recovery_device(self):
         from vitok_tpu.unipc import sample_flow_unipc_device
 

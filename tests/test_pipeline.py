@@ -385,6 +385,28 @@ class TestComposedPipelineTraining:
             )
         self._assert_states_match(state, ref_state)
 
+    def test_charbonnier_weight_honored_without_tiles(self):
+        """--charbonnier-weight must scale the pipelined loss even when the
+        SSIM/perceptual branches are off (advisor r5: the weight was
+        silently forced to 1.0 whenever tiles were inactive)."""
+        from vitok_tpu.train_lib import LossConfig
+
+        cfg, params, enc = _setup(depth=8, b=8)
+        batch = make_batch(b=8, n=16, grid=(4, 4))
+        mesh = create_mesh({PIPE_AXIS: 4}, devices=jax.devices()[:4])
+        base, _, _ = pipeline_parallel_value_and_grad(
+            params, enc, batch["patches"], cfg, mesh,
+            num_microbatches=4, compute_dtype=jnp.float32,
+        )
+        half, _, _ = pipeline_parallel_value_and_grad(
+            params, enc, batch["patches"], cfg, mesh,
+            num_microbatches=4, compute_dtype=jnp.float32,
+            loss_cfg=LossConfig(
+                charbonnier_weight=0.5, ssim_weight=0.0, ssim_grid=None
+            ),
+        )
+        np.testing.assert_allclose(float(half), 0.5 * float(base), rtol=1e-6)
+
     def test_mb_not_divisible_by_data_raises(self):
         cfg, params, _, _ = self._mk(depth=8)
         batch = make_batch(b=4, n=16, grid=(4, 4))

@@ -306,7 +306,7 @@ def _cached_vjg(
     cfg, mesh, S, m, rounds, n_tok, width, ppt, dtype_name,
     charbonnier_eps, remat, b, blocks_treedef, blocks_ndims,
     embed_treedef, topix_treedef, data_axes=(), loss_fields=None,
-    feature_fn=None,
+    feature_fn=None, charbonnier_weight=1.0,
 ):
     """Build (once per static configuration) the jitted per-shard GPipe VJP.
 
@@ -356,10 +356,11 @@ def _cached_vjg(
         compute_dtype=compute_dtype, deterministic=False, remat=remat,
     )
 
+    cw = charbonnier_weight
     if loss_fields is not None:
-        cw, sw, pw, tile_h, tile_w, n_tiles, patch, gr, gc = loss_fields
+        sw, pw, tile_h, tile_w, n_tiles, patch, gr, gc = loss_fields
     else:
-        cw, sw, pw = 1.0, 0.0, 0.0
+        sw, pw = 0.0, 0.0
 
     def _tile_losses(outputs, tgt, m0, oh, ow, sy, sx):
         """Stage-local SSIM/perceptual partials on this shard's images."""
@@ -575,7 +576,6 @@ def pipeline_parallel_value_and_grad(
         th = min(loss_cfg.tile_size, gr * loss_cfg.patch)
         tw = min(loss_cfg.tile_size, gc * loss_cfg.patch)
         loss_fields = (
-            float(loss_cfg.charbonnier_weight),
             float(loss_cfg.ssim_weight),
             float(loss_cfg.perceptual_weight),
             int(th), int(tw), int(loss_cfg.n_tiles), int(loss_cfg.patch),
@@ -607,6 +607,7 @@ def pipeline_parallel_value_and_grad(
         jax.tree_util.tree_structure(params["decoder_embed"]),
         jax.tree_util.tree_structure(params["to_pixels"]),
         data_axes, loss_fields, feature_fn,
+        float(loss_cfg.charbonnier_weight) if loss_cfg is not None else 1.0,
     )
     loss, g_blocks, g_embed, g_topix, g_z, parts = vjg(
         blocks, params["decoder_embed"], params["to_pixels"],

@@ -302,7 +302,10 @@ def _simulate_order_schedule(config, steps: int, disable_corrector):
 
 
 def precompute_unipc_coefficients(
-    scheduler: "FlowUniPCMultistepScheduler", num_inference_steps: int
+    scheduler: "FlowUniPCMultistepScheduler",
+    num_inference_steps: int,
+    mu: Optional[float] = None,
+    shift: Optional[float] = None,
 ):
     """Per-step linear coefficients of the UniPC update, extracted by unit
     probing of the HOST implementation.
@@ -314,6 +317,10 @@ def precompute_unipc_coefficients(
     recovers the exact per-step coefficient rows, with the host code as the
     single source of truth (no re-derived formulas to drift). A fresh
     scheduler instance is probed; the caller's is untouched.
+
+    ``mu`` / ``shift`` forward to ``set_timesteps`` so dynamic-shifting /
+    shift-override schedules probe the same sigma schedule the host loop
+    runs (passing neither reproduces ``set_timesteps(S)``).
 
     Returns a dict of numpy arrays over ``S = num_inference_steps`` steps:
     ``sigmas [S]``, ``timesteps [S]``, ``use_corrector [S]``,
@@ -334,7 +341,7 @@ def precompute_unipc_coefficients(
         lower_order_final=scheduler.config.lower_order_final,
         disable_corrector=list(scheduler.disable_corrector),
     )
-    sched.set_timesteps(num_inference_steps)
+    sched.set_timesteps(num_inference_steps, mu=mu, shift=shift)
     S = num_inference_steps
     plan = _simulate_order_schedule(sched.config, S, sched.disable_corrector)
 
@@ -387,6 +394,8 @@ def sample_flow_unipc_device(
     scheduler: Optional["FlowUniPCMultistepScheduler"] = None,
     steps: int = 20,
     coefficients=None,
+    mu: Optional[float] = None,
+    shift: Optional[float] = None,
 ):
     """The ENTIRE UniPC sampling loop on device: one ``lax.fori_loop``.
 
@@ -407,7 +416,9 @@ def sample_flow_unipc_device(
     if coefficients is None:
         if scheduler is None:
             scheduler = FlowUniPCMultistepScheduler(shift=1.0)
-        coefficients = precompute_unipc_coefficients(scheduler, steps)
+        coefficients = precompute_unipc_coefficients(
+            scheduler, steps, mu=mu, shift=shift
+        )
     sig = jnp.asarray(coefficients["sigmas"])
     ts = jnp.asarray(coefficients["timesteps"])
     uc = jnp.asarray(coefficients["use_corrector"])
